@@ -1,0 +1,33 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference has no automated tests (SURVEY.md §4); this suite creates the
+test strategy for the TPU rebuild. All tests run on CPU with
+``xla_force_host_platform_device_count=8`` so multi-device sharding paths are
+exercised without TPU hardware (the standard JAX fake-backend trick).
+
+Note: the environment pre-imports jax at interpreter startup (sitecustomize
+registers the TPU PJRT plugin), so env vars set here would be read too late —
+we must switch platforms through ``jax.config`` instead.
+"""
+
+import os
+
+# XLA_FLAGS is only consumed at (lazy) backend initialization, which has not
+# happened yet at conftest-import time, so this still takes effect.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(59)  # reference global seed: training/utils.py:65-73
