@@ -1,0 +1,215 @@
+"""AugmentFP — the music-degradation pipeline facade (API parity).
+
+TPU-native rebuild of ref: augmentation/__init__.py:16-101. Same fixed
+8-stage chain — HighPass -> ImpulseResponse -> BackgroundNoise -> Gain ->
+Clipping -> LowPass -> HighPass -> PeakNormalization(p=1) — with the same
+``parameters`` dict keys, but compiled to a single XLA program over a
+device-resident noise/IR bank. One call augments a whole batch on-device;
+there is no per-call disk I/O and no per-transform python loop.
+
+Randomness: the reference hides RNG state in python/torch globals and
+``freeze_parameters(seed)`` reseeds them so repeated calls replay a
+deterministic stream (ref: augmentation/transform.py:158-165). Here the state
+is an explicit JAX PRNG key advanced per call; ``freeze_parameters(seed)``
+resets it to ``PRNGKey(seed)`` giving the same reproducible-stream semantics
+(bit-exact parity with torch's sampler is out of scope — statistical parity,
+SURVEY.md §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from musicfpaugment_tpu.augment.banks import (
+    IRBank,
+    NoiseBank,
+    build_ir_bank,
+    build_noise_bank,
+)
+from musicfpaugment_tpu.augment.compose import Compose
+from musicfpaugment_tpu.augment.constants import (
+    DEFAULT_PARAMETERS,
+    IMPULSE_RESPONSE_DIR,
+)
+from musicfpaugment_tpu.augment.transforms import (
+    AddBackgroundNoise,
+    ApplyImpulseResponse,
+    Clipping,
+    Gain,
+    HighPassFilter,
+    LowPassFilter,
+    PeakNormalization,
+)
+
+Array = jnp.ndarray
+
+
+class AugmentFP:
+    """Music augmentation for audio fingerprinting (ref: __init__.py:16-101).
+
+    Args:
+        background_paths: the reference's ``{scene: [wav paths]}`` dict, a
+            flat path list, a pre-decoded (N, T) numpy array, or a built
+            :class:`NoiseBank`.
+        sample_rate: waveform sample rate (8000 in all reference configs).
+        parameters: the reference parameter dict (verbatim keys).
+        impulse_response_dir: directory of IR wavs, an (N, T) array, or a
+            built :class:`IRBank`.
+    """
+
+    def __init__(
+        self,
+        background_paths: Union[Dict[str, List[str]], List[str], np.ndarray, NoiseBank],
+        sample_rate: int,
+        parameters: Dict[str, float] = DEFAULT_PARAMETERS,
+        impulse_response_dir: Union[str, np.ndarray, IRBank] = IMPULSE_RESPONSE_DIR,
+        noise_row_length: Optional[int] = None,
+        batch_quantile_clipping: bool = False,
+    ) -> None:
+        if isinstance(background_paths, NoiseBank):
+            self.noise_bank = background_paths
+        else:
+            self.noise_bank = build_noise_bank(
+                background_paths,
+                sample_rate,
+                row_length=noise_row_length or 8 * sample_rate,
+            )
+        if isinstance(impulse_response_dir, IRBank):
+            self.ir_bank = impulse_response_dir
+        else:
+            self.ir_bank = build_ir_bank(impulse_response_dir, sample_rate)
+
+        self.sample_rate = sample_rate
+        self.parameters = dict(parameters)
+
+        # Fixed 8-stage chain, ref: augmentation/__init__.py:46-93.
+        self.augmentation_pipeline = Compose(
+            transforms=[
+                HighPassFilter(
+                    p=parameters["proba_cutoff_freq1"],
+                    min_cutoff_freq=parameters["min_cutoff_freq1"],
+                    max_cutoff_freq=parameters["max_cutoff_freq1"],
+                    sample_rate=sample_rate,
+                ),
+                ApplyImpulseResponse(
+                    sample_rate=sample_rate,
+                    p=parameters["proba_ir_response"],
+                ),
+                AddBackgroundNoise(
+                    p=parameters["proba_snr_in_db"],
+                    min_snr_in_db=parameters["min_snr_in_db"],
+                    max_snr_in_db=parameters["max_snr_in_db"],
+                    sample_rate=sample_rate,
+                ),
+                Gain(
+                    p=parameters["proba_gain_in_db"],
+                    min_gain_in_db=parameters["min_gain_in_db"],
+                    max_gain_in_db=parameters["max_gain_in_db"],
+                ),
+                Clipping(
+                    p=parameters["proba_percentile_threshold"],
+                    min_percentile_threshold=0,
+                    max_percentile_threshold=parameters["max_percentile_threshold"],
+                    batch_quantile=batch_quantile_clipping,
+                ),
+                LowPassFilter(
+                    p=parameters["proba_cutoff_freq2"],
+                    min_cutoff_freq=parameters["min_cutoff_freq2"],
+                    max_cutoff_freq=parameters["max_cutoff_freq2"],
+                    sample_rate=sample_rate,
+                ),
+                HighPassFilter(
+                    p=parameters["proba_cutoff_freq3"],
+                    min_cutoff_freq=parameters["min_cutoff_freq3"],
+                    max_cutoff_freq=parameters["max_cutoff_freq3"],
+                    sample_rate=sample_rate,
+                ),
+                PeakNormalization(p=1),
+            ]
+        )
+
+        self.are_parameters_frozen = False
+        self._key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2**63))
+        self._jitted = jax.jit(self._chain)
+
+    # ------------------------------------------------------------ chain
+
+    def _chain(
+        self, key: jax.Array, samples: Array, noise_bank: NoiseBank, ir_bank: IRBank
+    ) -> Array:
+        return self.augmentation_pipeline.apply(
+            key, samples, self.sample_rate, noise_bank=noise_bank, ir_bank=ir_bank
+        )
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------ API
+
+    def __call__(self, waveform: Union[Array, np.ndarray], key=None) -> Array:
+        """Augment one waveform of shape (channels, time) or (time,)
+        (ref: __init__.py:95-97)."""
+        waveform = jnp.asarray(waveform, jnp.float32)
+        squeeze_channel = False
+        if waveform.ndim == 1:
+            waveform = waveform[None, :]
+            squeeze_channel = True
+        out = self.batch_augment(waveform[None], key=key)[0]
+        return out[0] if squeeze_channel else out
+
+    def batch_augment(self, waveforms: Union[Array, np.ndarray], key=None) -> Array:
+        """Augment a batch (batch, channels, time) on-device
+        (ref: __init__.py:99-101)."""
+        waveforms = jnp.asarray(waveforms, jnp.float32)
+        if key is None:
+            key = self._next_key()
+        return self._jitted(key, waveforms, self.noise_bank, self.ir_bank)
+
+    # ------------------------------------------------------------ freezing
+
+    def freeze_parameters(self, seed: int = 0) -> None:
+        """Reset the PRNG stream for reproducible query generation
+        (ref: composition.py:37-45, transform.py:158-165)."""
+        self.are_parameters_frozen = True
+        self._key = jax.random.PRNGKey(seed)
+
+    def unfreeze_parameters(self) -> None:
+        self.are_parameters_frozen = False
+        self._key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2**63))
+
+
+def synthetic_banks(
+    sample_rate: int = 8000,
+    num_noise: int = 16,
+    num_irs: int = 8,
+    noise_row_length: Optional[int] = None,
+    seed: int = 0,
+):
+    """Small synthetic noise/IR banks for tests, demos, and benchmarks.
+
+    Noise rows are shaped noise bursts; IRs are exponentially-decaying sparse
+    reflections — structurally similar to MIT-survey room responses.
+    """
+    rng = np.random.default_rng(seed)
+    L = noise_row_length or 8 * sample_rate
+    noise = rng.standard_normal((num_noise, L)).astype(np.float32)
+    # color the noise a bit so scenes differ
+    for i in range(num_noise):
+        kernel = rng.standard_normal(8) / 8
+        noise[i] = np.convolve(noise[i], kernel, mode="same")
+    ir_len = sample_rate // 2
+    t = np.arange(ir_len) / sample_rate
+    irs = np.zeros((num_irs, ir_len), np.float32)
+    for i in range(num_irs):
+        decay = rng.uniform(2.0, 12.0)
+        sparse = (rng.random(ir_len) < 0.02) * rng.standard_normal(ir_len)
+        irs[i] = (sparse + 0.2 * rng.standard_normal(ir_len)) * np.exp(-decay * t)
+        irs[i, 0] = 1.0
+    noise_bank = build_noise_bank(noise, sample_rate, row_length=L, seed=seed)
+    ir_bank = build_ir_bank(irs, sample_rate)
+    return noise_bank, ir_bank

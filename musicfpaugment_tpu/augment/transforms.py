@@ -1,0 +1,482 @@
+"""Waveform transforms as pure, batched, jit-safe functions.
+
+Redesign of the reference's ``BaseWaveformTransform`` template
+(ref: augmentation/transform.py:24-171). There, each transform samples a
+per-example Bernoulli ``should_apply`` mask, clones the batch, gathers the
+selected subset, randomizes parameters (often with disk I/O), transforms, and
+scatters back — shapes are data-dependent and nothing can jit.
+
+Here every transform computes its candidate output for the *whole* batch and
+lane-selects with ``jnp.where(mask, transformed, samples)`` — identical math
+(unselected lanes keep their input bit-for-bit), static shapes, one fused XLA
+program. Hidden torch/python RNG state becomes explicit PRNG keys, which also
+removes the reference's thread-unsafety of shared ``transform_parameters``
+dicts (SURVEY.md §5 race note).
+
+All transforms take/return ``samples`` of shape (batch, channels, time),
+float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from musicfpaugment_tpu.augment.banks import IRBank, NoiseBank
+from musicfpaugment_tpu.core.convolve import fft_convolve
+from musicfpaugment_tpu.core.filters import (
+    DEFAULT_HALF_SIZE_MAX,
+    DEFAULT_ZEROS,
+    highpass_filter,
+    lowpass_filter,
+    bandpass_filter,
+    bandstop_filter,
+)
+from musicfpaugment_tpu.core.noise import batch_colored_noise
+from musicfpaugment_tpu.core.utils import (
+    calculate_rms,
+    convert_decibels_to_amplitude_ratio,
+    convert_frequencies_to_mels,
+    convert_mels_to_frequencies,
+)
+
+Array = jnp.ndarray
+
+
+def _hz_to_mel(f: float) -> float:
+    """Static (trace-free) mel conversion for config-time bounds."""
+    return 2595.0 * math.log10(1.0 + f / 700.0)
+
+
+def _apply_mask(mask: Array, transformed: Array, samples: Array) -> Array:
+    """Per-example lane select (replaces clone/gather/scatter at
+    transform.py:101-123)."""
+    return jnp.where(mask[:, None, None], transformed, samples)
+
+
+def _uniform(key: jax.Array, batch: int, lo: float, hi: float) -> Array:
+    if hi <= lo:
+        return jnp.full((batch,), lo, jnp.float32)
+    return jax.random.uniform(key, (batch,), jnp.float32, lo, hi)
+
+
+class BaseWaveformTransform:
+    """Static config holder; ``__call__(key, samples, ...)`` is pure/traceable."""
+
+    supports_multichannel = True
+    requires_sample_rate = True
+
+    def __init__(self, p: float = 0.5, sample_rate: Optional[int] = None):
+        assert 0.0 <= p <= 1.0
+        self.p = p
+        self.sample_rate = sample_rate
+
+    def __call__(
+        self,
+        key: jax.Array,
+        samples: Array,
+        sample_rate: Optional[int] = None,
+        noise_bank: Optional[NoiseBank] = None,
+        ir_bank: Optional[IRBank] = None,
+    ) -> Array:
+        if samples.ndim != 3:
+            raise RuntimeError(
+                "expects three-dimensional input tensors [batch, channels, time]"
+            )
+        sr = sample_rate or self.sample_rate
+        k_mask, k_tfm = jax.random.split(key)
+        batch = samples.shape[0]
+        if self.p >= 1.0:
+            mask = jnp.ones((batch,), bool)
+        elif self.p <= 0.0:
+            return samples
+        else:
+            mask = jax.random.bernoulli(k_mask, self.p, (batch,))
+        transformed = self.transform(
+            k_tfm, samples, sr, noise_bank=noise_bank, ir_bank=ir_bank
+        )
+        return _apply_mask(mask, transformed, samples)
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        raise NotImplementedError
+
+
+# ----------------------------------------------------------------- filters
+
+
+class LowPassFilter(BaseWaveformTransform):
+    """Low-pass with cutoff sampled uniformly in mel space
+    (ref: augmentation/transformations/pass_filters.py:17-115)."""
+
+    _mode = "low"
+
+    def __init__(
+        self,
+        min_cutoff_freq: float = 150.0,
+        max_cutoff_freq: float = 7500.0,
+        p: float = 0.5,
+        sample_rate: Optional[int] = None,
+        half_size_max: Optional[int] = None,
+    ):
+        super().__init__(p=p, sample_rate=sample_rate)
+        if min_cutoff_freq > max_cutoff_freq:
+            raise ValueError("min_cutoff_freq must not be greater than max_cutoff_freq")
+        self.min_cutoff_freq = float(min_cutoff_freq)
+        self.max_cutoff_freq = float(max_cutoff_freq)
+        if half_size_max is None:
+            # The widest kernel in range is at the smallest cutoff: julius
+            # half_size = int(zeros / (f/sr) / 2). Cap at the global max and
+            # round up for layout friendliness.
+            sr = sample_rate or 8000
+            if self.min_cutoff_freq > 0:
+                h = int(DEFAULT_ZEROS * sr / self.min_cutoff_freq / 2)
+            else:
+                h = DEFAULT_HALF_SIZE_MAX
+            half_size_max = min(DEFAULT_HALF_SIZE_MAX, max(64, -(-h // 64) * 64))
+        self.half_size_max = half_size_max
+
+    def _sample_cutoffs(self, key, batch, sample_rate) -> Array:
+        # ref: pass_filters.py:58-82 — U(ceil(mel(min)), floor(mel(max)));
+        # bounds are static python floats, computed outside the trace
+        lo = math.ceil(_hz_to_mel(self.min_cutoff_freq))
+        hi = math.floor(_hz_to_mel(self.max_cutoff_freq))
+        mels = _uniform(key, batch, float(lo), float(hi))
+        return convert_mels_to_frequencies(mels) / sample_rate
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        cutoffs = self._sample_cutoffs(key, samples.shape[0], sample_rate)
+        fn = lowpass_filter if self._mode == "low" else highpass_filter
+        return fn(samples, cutoffs, half_size_max=self.half_size_max)
+
+
+class HighPassFilter(LowPassFilter):
+    """High-pass = identity - low-pass (ref: pass_filters.py:118-155)."""
+
+    _mode = "high"
+
+    def __init__(
+        self,
+        min_cutoff_freq: float = 20.0,
+        max_cutoff_freq: float = 2400.0,
+        p: float = 0.5,
+        sample_rate: Optional[int] = None,
+        half_size_max: Optional[int] = None,
+    ):
+        super().__init__(
+            min_cutoff_freq, max_cutoff_freq, p=p, sample_rate=sample_rate,
+            half_size_max=half_size_max,
+        )
+
+
+class BandPassFilter(BaseWaveformTransform):
+    """Band-pass with mel-uniform center + uniform bandwidth fraction
+    (ref: augmentation/transformations/band_filters.py:15-155). Defined but
+    not in the default AugmentFP chain, mirroring the reference."""
+
+    _complement = False
+
+    def __init__(
+        self,
+        min_center_frequency: float = 200.0,
+        max_center_frequency: float = 4000.0,
+        min_bandwidth_fraction: float = 0.5,
+        max_bandwidth_fraction: float = 1.99,
+        p: float = 0.5,
+        sample_rate: Optional[int] = None,
+        half_size_max: int = DEFAULT_HALF_SIZE_MAX,
+    ):
+        super().__init__(p=p, sample_rate=sample_rate)
+        if max_center_frequency < min_center_frequency:
+            raise ValueError(
+                f"max_center_frequency ({max_center_frequency}) should be larger than "
+                f"min_center_frequency ({min_center_frequency})."
+            )
+        if min_bandwidth_fraction <= 0.0:
+            raise ValueError("min_bandwidth_fraction must be a positive number")
+        if max_bandwidth_fraction < min_bandwidth_fraction:
+            raise ValueError(
+                f"max_bandwidth_fraction ({max_bandwidth_fraction}) should be larger "
+                f"than min_bandwidth_fraction ({min_bandwidth_fraction})."
+            )
+        if max_bandwidth_fraction >= 2.0:
+            raise ValueError(
+                f"max_bandwidth_fraction ({max_bandwidth_fraction}) should be smaller "
+                f"than 2.0, since otherwise low_cut_frequency of the band can be "
+                f"smaller than 0 Hz."
+            )
+        self.min_center_frequency = min_center_frequency
+        self.max_center_frequency = max_center_frequency
+        self.min_bandwidth_fraction = min_bandwidth_fraction
+        self.max_bandwidth_fraction = max_bandwidth_fraction
+        self.half_size_max = half_size_max
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        batch = samples.shape[0]
+        k_center, k_bw = jax.random.split(key)
+        lo_mel = _hz_to_mel(self.min_center_frequency)
+        hi_mel = _hz_to_mel(self.max_center_frequency)
+        center = convert_mels_to_frequencies(_uniform(k_center, batch, lo_mel, hi_mel))
+        bw = _uniform(k_bw, batch, self.min_bandwidth_fraction, self.max_bandwidth_fraction)
+        low = center * (1.0 - 0.5 * bw) / sample_rate
+        high = center * (1.0 + 0.5 * bw) / sample_rate
+        fn = bandstop_filter if self._complement else bandpass_filter
+        return fn(samples, low, high, half_size_max=self.half_size_max)
+
+
+class BandStopFilter(BandPassFilter):
+    """Band-stop = identity - band-pass (ref: band_filters.py:158-207)."""
+
+    _complement = True
+
+
+# ----------------------------------------------------------------- reverb
+
+
+class ApplyImpulseResponse(BaseWaveformTransform):
+    """Room reverb: random bank IR, FFT convolution, peak normalization
+    (ref: augmentation/transformations/impulse_response.py:13-116).
+
+    The IR comes from a device-resident :class:`IRBank` instead of per-call
+    disk reads; the zero-padded tail of shorter IRs contributes nothing to the
+    linear convolution, so results match the reference's ragged pad_sequence
+    batching exactly.
+    """
+
+    def __init__(
+        self,
+        ir_bank: Optional[IRBank] = None,
+        sample_rate: Optional[int] = None,
+        convolve_mode: str = "full",
+        compensate_for_propagation_delay: bool = False,
+        p: float = 0.5,
+    ):
+        super().__init__(p=p, sample_rate=sample_rate)
+        self.ir_bank = ir_bank
+        self.convolve_mode = convolve_mode
+        self.compensate_for_propagation_delay = compensate_for_propagation_delay
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        bank = ir_bank if ir_bank is not None else self.ir_bank
+        if bank is None:
+            raise ValueError("ApplyImpulseResponse requires an IRBank")
+        _, num_channels, num_samples = samples.shape
+        ir = bank.sample(key, samples.shape[0])  # (B, L)
+        convolved = fft_convolve(samples, ir[:, None, :], mode=self.convolve_mode)
+        # Peak-normalize over the *full* convolution tail, as the reference
+        # does before truncation (impulse_response.py:86-91).
+        peak = jnp.max(jnp.abs(convolved), axis=-1, keepdims=True)
+        convolved = convolved / jnp.where(peak > 0, peak, 1.0)
+        if self.compensate_for_propagation_delay:
+            delays = jnp.argmax(jnp.abs(ir), axis=-1)
+
+            def shift(sig, d):
+                return jax.lax.dynamic_slice(
+                    sig, (0, d), (num_channels, num_samples)
+                )
+
+            return jax.vmap(shift)(convolved, delays)
+        return convolved[..., :num_samples]
+
+
+# ----------------------------------------------------------------- noise
+
+
+class AddBackgroundNoise(BaseWaveformTransform):
+    """SNR-controlled scene-noise mixing
+    (ref: augmentation/transformations/background_noise.py:15-213).
+
+    Noise crops come from a device-resident :class:`NoiseBank`; the
+    SNR -> amplitude math and final peak normalization match the reference.
+    """
+
+    def __init__(
+        self,
+        noise_bank: Optional[NoiseBank] = None,
+        min_snr_in_db: float = 3.0,
+        max_snr_in_db: float = 30.0,
+        p: float = 0.5,
+        sample_rate: Optional[int] = None,
+        mixup: bool = False,
+    ):
+        super().__init__(p=p, sample_rate=sample_rate)
+        if min_snr_in_db > max_snr_in_db:
+            raise ValueError("min_snr_in_db must not be greater than max_snr_in_db")
+        self.noise_bank = noise_bank
+        self.min_snr_in_db = float(min_snr_in_db)
+        self.max_snr_in_db = float(max_snr_in_db)
+        self.mixup = mixup
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        bank = noise_bank if noise_bank is not None else self.noise_bank
+        if bank is None:
+            raise ValueError("AddBackgroundNoise requires a NoiseBank")
+        batch, num_channels, num_samples = samples.shape
+        k_noise, k_snr = jax.random.split(key)
+        if self.mixup:
+            background = bank.sample_pair(k_noise, batch, num_samples)
+        else:
+            background = bank.sample(k_noise, batch, num_samples)
+        snr = _uniform(k_snr, batch, self.min_snr_in_db, self.max_snr_in_db)
+        # background_noise.py:195-201
+        background_rms = calculate_rms(samples) / (10 ** (snr[:, None] / 20.0))
+        mixed = samples + background_rms[..., None] * background[:, None, :]
+        peak = jnp.max(jnp.abs(mixed), axis=-1, keepdims=True)
+        return mixed / jnp.where(peak > 0, peak, 1.0)
+
+
+class AddColoredNoise(BaseWaveformTransform):
+    """1/f^decay noise at random SNR (ref:
+    augmentation/transformations/colored_noise.py:41-146). Not in the default
+    chain, mirroring the reference."""
+
+    def __init__(
+        self,
+        min_snr_in_db: float = 3.0,
+        max_snr_in_db: float = 30.0,
+        min_f_decay: float = -2.0,
+        max_f_decay: float = 2.0,
+        p: float = 0.5,
+        sample_rate: Optional[int] = None,
+    ):
+        super().__init__(p=p, sample_rate=sample_rate)
+        if min_snr_in_db > max_snr_in_db:
+            raise ValueError("min_snr_in_db must not be greater than max_snr_in_db")
+        if min_f_decay > max_f_decay:
+            raise ValueError("min_f_decay must not be greater than max_f_decay")
+        self.min_snr_in_db = float(min_snr_in_db)
+        self.max_snr_in_db = float(max_snr_in_db)
+        self.min_f_decay = float(min_f_decay)
+        self.max_f_decay = float(max_f_decay)
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        batch, num_channels, num_samples = samples.shape
+        k_noise, k_snr, k_decay = jax.random.split(key, 3)
+        snr = _uniform(k_snr, batch, self.min_snr_in_db, self.max_snr_in_db)
+        f_decay = _uniform(k_decay, batch, self.min_f_decay, self.max_f_decay)
+        noise = batch_colored_noise(
+            k_noise, f_decay, num_samples, self.sample_rate or sample_rate or 44100
+        )
+        noise_rms = calculate_rms(samples) / (10 ** (snr[:, None] / 20.0))
+        mixed = samples + noise_rms[..., None] * noise[:, None, :]
+        peak = jnp.max(jnp.abs(mixed), axis=-1, keepdims=True)
+        return mixed / jnp.where(peak > 0, peak, 1.0)
+
+
+# ----------------------------------------------------------------- amplitude
+
+
+class Gain(BaseWaveformTransform):
+    """Random uniform dB gain (ref: augmentation/transformations/gain.py:10-70)."""
+
+    requires_sample_rate = False
+
+    def __init__(
+        self,
+        min_gain_in_db: float = -18.0,
+        max_gain_in_db: float = 6.0,
+        p: float = 0.5,
+        sample_rate: Optional[int] = None,
+    ):
+        super().__init__(p=p, sample_rate=sample_rate)
+        if min_gain_in_db >= max_gain_in_db:
+            raise ValueError("max_gain_in_db must be higher than min_gain_in_db")
+        self.min_gain_in_db = float(min_gain_in_db)
+        self.max_gain_in_db = float(max_gain_in_db)
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        gains_db = _uniform(key, samples.shape[0], self.min_gain_in_db, self.max_gain_in_db)
+        return samples * convert_decibels_to_amplitude_ratio(gains_db)[:, None, None]
+
+
+class Clipping(BaseWaveformTransform):
+    """Percentile clipping (ref: augmentation/transformations/clipping.py:10-101).
+
+    A percentile threshold q is drawn per example; samples below the (q/2)-th
+    or above the (1-q/2)-th percentile are clipped.
+
+    Divergence (documented, SURVEY.md §7 hard-part 6): the reference computes
+    the percentiles over the *whole selected sub-batch* flattened
+    (``torch.quantile(samples[:, 0, :], thresholds)`` at clipping.py:76-90),
+    coupling examples. Default here is per-example percentiles — identical for
+    the batch-size-1 query-generation path — with ``batch_quantile=True`` for
+    bug-for-bug parity.
+    """
+
+    requires_sample_rate = False
+
+    def __init__(
+        self,
+        min_percentile_threshold: float = 0.0,
+        max_percentile_threshold: float = 1.0,
+        p: float = 0.5,
+        sample_rate: Optional[int] = None,
+        batch_quantile: bool = False,
+    ):
+        super().__init__(p=p, sample_rate=sample_rate)
+        assert 0 <= min_percentile_threshold
+        assert 1 >= max_percentile_threshold
+        assert min_percentile_threshold <= max_percentile_threshold
+        if min_percentile_threshold >= max_percentile_threshold:
+            raise ValueError(
+                "max_percentile_threshold must be higher than min_percentile_threshold"
+            )
+        self.min_percentile_threshold = float(min_percentile_threshold)
+        self.max_percentile_threshold = float(max_percentile_threshold)
+        self.batch_quantile = batch_quantile
+
+    @staticmethod
+    def _interp_quantile(sorted_vals: Array, q: Array) -> Array:
+        """torch.quantile linear interpolation on pre-sorted trailing axis."""
+        n = sorted_vals.shape[-1]
+        pos = q * (n - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+        frac = pos - lo.astype(pos.dtype)
+        v_lo = jnp.take_along_axis(sorted_vals, lo[..., None], axis=-1)[..., 0]
+        v_hi = jnp.take_along_axis(sorted_vals, (lo + 1)[..., None], axis=-1)[..., 0]
+        return v_lo * (1.0 - frac) + v_hi * frac
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        batch = samples.shape[0]
+        q = _uniform(key, batch, self.min_percentile_threshold, self.max_percentile_threshold)
+        lower_q = q / 2.0
+        ch0 = samples[:, 0, :]
+        if self.batch_quantile:
+            flat = jnp.sort(ch0.reshape(-1))
+            flat_b = jnp.broadcast_to(flat, (batch, flat.shape[0]))
+            lower = self._interp_quantile(flat_b, lower_q)
+            upper = self._interp_quantile(flat_b, 1.0 - lower_q)
+        else:
+            srt = jnp.sort(ch0, axis=-1)
+            lower = self._interp_quantile(srt, lower_q)
+            upper = self._interp_quantile(srt, 1.0 - lower_q)
+        return jnp.clip(samples, lower[:, None, None], upper[:, None, None])
+
+
+class PeakNormalization(BaseWaveformTransform):
+    """Scale so the per-example peak hits 0 dBFS; all-zero snippets untouched
+    (ref: augmentation/transformations/peak_normalization.py:10-67)."""
+
+    requires_sample_rate = False
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        # per-example extreme over channels *and* time (peak_normalization.py:42-45)
+        peak = jnp.max(jnp.abs(samples), axis=(-2, -1), keepdims=True)
+        return jnp.where(peak > 0, samples / jnp.where(peak > 0, peak, 1.0), samples)
+
+
+__all__ = [
+    "BaseWaveformTransform",
+    "LowPassFilter",
+    "HighPassFilter",
+    "BandPassFilter",
+    "BandStopFilter",
+    "ApplyImpulseResponse",
+    "AddBackgroundNoise",
+    "AddColoredNoise",
+    "Gain",
+    "Clipping",
+    "PeakNormalization",
+]
