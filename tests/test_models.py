@@ -1,0 +1,124 @@
+"""Shape/behavior tests for UNet and Demucs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicfpaugment_tpu.models import Demucs, UNet, rescale_params
+
+
+def test_unet_shapes():
+    model = UNet(1, 1, rate=0.05)
+    x = jnp.zeros((2, 257, 94))  # 3 s @ 8 kHz spectrogram, n_fft 512 hop 256
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == x.shape
+
+
+def test_unet_channel_plan():
+    """Verify the 64->1024 channel plan of ref training/unet.py:77-95."""
+    model = UNet(1, 1)
+    x = jnp.zeros((1, 64, 64))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    # inc first conv -> 64 channels; deepest Down -> 1024
+    inc_kernel = params["DoubleConv_0"]["Conv_0"]["kernel"]
+    assert inc_kernel.shape[-1] == 64
+    deep = params["Down_3"]["DoubleConv_0"]["Conv_0"]["kernel"]
+    assert deep.shape[-1] == 1024
+
+
+def test_unet_train_mode_runs():
+    model = UNet(1, 1, rate=0.05)
+    x = jnp.zeros((2, 128, 64))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y, mutated = model.apply(
+        variables,
+        x,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert y.shape == x.shape
+    assert "batch_stats" in mutated
+
+
+def test_unet_odd_sizes():
+    """Odd spectrogram dims must survive the maxpool/pad-fix path
+    (ref: unet.py:59-62)."""
+    model = UNet(1, 1)
+    x = jnp.zeros((1, 257, 251))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == x.shape
+
+
+def test_demucs_valid_length():
+    """valid_length formula parity (ref: model.py:268-284)."""
+    model = Demucs()
+    # independently computed with the published formula
+    import math
+
+    def oracle(length):
+        length = math.ceil(length * 4)
+        for _ in range(5):
+            length = max(math.ceil((length - 8) / 4) + 1, 1)
+        for _ in range(5):
+            length = (length - 1) * 4 + 8
+        return int(math.ceil(length / 4))
+
+    for L in [1, 100, 8000, 24000, 24001]:
+        assert model.valid_length(L) == oracle(L)
+
+
+def test_demucs_forward_shape():
+    model = Demucs(hidden=8, depth=3)  # small for test speed
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4001), dtype=np.float64).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_demucs_channel_first_input():
+    model = Demucs(hidden=8, depth=2)
+    x = jnp.zeros((1, 1, 2000))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (1, 1, 2000)
+
+
+def test_demucs_rescale_params():
+    model = Demucs(hidden=8, depth=2)
+    x = jnp.zeros((1, 2000))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    rescaled = rescale_params(variables["params"], reference=0.1)
+    leaves_before = jax.tree_util.tree_leaves(variables["params"])
+    leaves_after = jax.tree_util.tree_leaves(rescaled)
+    assert len(leaves_before) == len(leaves_after)
+    changed = any(
+        a.shape == b.shape and not np.allclose(a, b)
+        for a, b in zip(leaves_before, leaves_after)
+    )
+    assert changed
+    # rescaled conv kernels should have std ~ sqrt(std_orig * reference)
+    k = variables["params"]["Conv_0"]["kernel"]
+    k2 = rescaled["Conv_0"]["kernel"]
+    np.testing.assert_allclose(
+        float(jnp.std(k2)), float(jnp.std(k) / jnp.sqrt(jnp.std(k) / 0.1)), rtol=1e-4
+    )
+
+
+def test_demucs_normalization_invariance():
+    """With normalize=True, scaling the input scales the output ~linearly
+    (std is divided out then multiplied back, model.py:294-326)."""
+    model = Demucs(hidden=8, depth=2)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 3000)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y1 = np.asarray(model.apply(variables, x))
+    y2 = np.asarray(model.apply(variables, 100.0 * x))
+    # floor=1e-3 makes the invariance approximate, not exact
+    scale = np.abs(100.0 * y1).max()
+    np.testing.assert_allclose(y2, 100.0 * y1, atol=0.01 * scale)
