@@ -1,0 +1,175 @@
+"""Peak-pair landmarks and 20-bit hash packing — vectorized.
+
+The reference forms landmarks with a triple-nested Python loop over peaks and
+lookahead columns (ref: afp/audfprint/peak_extractor.py:313-346) and packs
+hashes in numpy (:40-58). Here pairing is a dense (max_peaks, window) mask
+computation: peaks are extracted from the boolean mask in (column, bin) order
+into a fixed-size padded array, each peak looks at the next ``window`` peaks
+(peak order == candidate order in the reference, since both iterate columns
+ascending then bins ascending), validity is ``dt in [mindt, targetdt)`` and
+``|df| < targetdf``, and the reference's fanout cap ("first
+``maxpairsperpeak`` valid candidates") is a cumulative-sum rank test.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+# hash construction constants (ref: peak_extractor.py:99-108)
+MAXPAIRSPERPEAK = 3
+MINDT = 2
+TARGETDT = 63
+TARGETDF = 31
+
+
+def extract_peaks(
+    mask: Array, max_peaks: int
+) -> Tuple[Array, Array, Array]:
+    """(freq, cols) boolean mask -> (cols, bins, valid) padded to max_peaks,
+    sorted by (col, bin) — the reference's pklist order
+    (peak_extractor.py:305-310)."""
+    F, C = mask.shape
+    flat = jnp.reshape(jnp.swapaxes(mask, 0, 1), (-1,))  # column-major
+    (idx,) = jnp.nonzero(flat, size=max_peaks, fill_value=-1)
+    valid = idx >= 0
+    safe = jnp.where(valid, idx, 0)
+    return safe // F, safe % F, valid
+
+
+def pair_landmarks(
+    cols: Array,
+    bins: Array,
+    valid: Array,
+    window: int = 320,
+    mindt: int = MINDT,
+    targetdt: int = TARGETDT,
+    targetdf: int = TARGETDF,
+    maxpairs: int = MAXPAIRSPERPEAK,
+) -> Tuple[Array, Array]:
+    """Pair each peak with up to ``maxpairs`` later peaks.
+
+    Returns (landmarks (P, window, 4) int32 [col, bin1, bin2, dt],
+    selected (P, window) bool). ``window`` bounds how many subsequent peaks
+    are examined; with <= 5 peaks/frame and dt < 63, 315 suffices.
+    """
+    P = cols.shape[0]
+    # candidate j = peak i + 1 + w
+    offs = jnp.arange(1, window + 1)
+    j = jnp.arange(P)[:, None] + offs[None, :]  # (P, W)
+    in_range = j < P
+    j_safe = jnp.where(in_range, j, P - 1)
+    col_j = cols[j_safe]
+    bin_j = bins[j_safe]
+    val_j = valid[j_safe] & in_range
+    dt = col_j - cols[:, None]
+    df = bin_j - bins[:, None]
+    ok = (
+        valid[:, None]
+        & val_j
+        & (dt >= mindt)
+        & (dt < targetdt)
+        & (jnp.abs(df) < targetdf)
+    )
+    # "first maxpairs valid candidates" in j order (peak_extractor.py:334-345)
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=1)
+    selected = ok & (rank <= maxpairs)
+    landmarks = jnp.stack(
+        [
+            jnp.broadcast_to(cols[:, None], dt.shape),
+            jnp.broadcast_to(bins[:, None], dt.shape),
+            bin_j,
+            dt,
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    return landmarks, selected
+
+
+def landmarks_to_hashes(landmarks: Array) -> Array:
+    """(..., 4) [col, bin1, bin2, dt] -> (..., 2) [time, 20-bit hash]
+    (ref: peak_extractor.py:40-58)."""
+    time = landmarks[..., 0]
+    bin1 = landmarks[..., 1]
+    bin2 = landmarks[..., 2]
+    dt = landmarks[..., 3]
+    h = ((bin1 & 255) << 12) | (((bin2 - bin1) & 63) << 6) | (dt & 63)
+    return jnp.stack([time, h], axis=-1)
+
+
+def hashes_from_mask(
+    mask: Array, max_peaks: int, max_hashes: int, window: int = 320
+) -> Tuple[Array, Array]:
+    """(freq, cols) peak mask -> padded, deduplicated, (time, hash)-sorted
+    hash array ((max_hashes, 2) int32, valid (max_hashes,) bool).
+
+    Deduplication + sort matches ``wavfile2hashes`` (peak_extractor.py:449-
+    460): unique over the packed (time << 32 | hash) key, ascending. 64-bit
+    packing is avoided (x64 stays off) by sorting on a float64-safe composite
+    within int32 range: time * 2^20 + hash fits 34 bits, so we lexsort on two
+    int32 keys instead.
+    """
+    cols, bins, valid = extract_peaks(mask, max_peaks)
+    landmarks, selected = pair_landmarks(cols, bins, valid, window=window)
+    th = landmarks_to_hashes(landmarks).reshape(-1, 2)
+    sel = selected.reshape(-1)
+    # compress the selected pairs into a fixed-size buffer
+    (idx,) = jnp.nonzero(sel, size=max_hashes, fill_value=-1)
+    lvalid = idx >= 0
+    th = th[jnp.where(lvalid, idx, 0)]
+    # sort by (time, hash): stable sort hash then time
+    order_h = jnp.argsort(th[:, 1], stable=True)
+    th = th[order_h]
+    lvalid = lvalid[order_h]
+    order_t = jnp.argsort(
+        jnp.where(lvalid, th[:, 0], jnp.iinfo(jnp.int32).max), stable=True
+    )
+    th = th[order_t]
+    lvalid = lvalid[order_t]
+    # dedup consecutive equal (time, hash) rows
+    same = (
+        (th[1:, 0] == th[:-1, 0]) & (th[1:, 1] == th[:-1, 1]) & lvalid[1:]
+    )
+    unique = jnp.concatenate([jnp.array([True]), ~same])
+    return th, lvalid & unique
+
+
+def hashes_from_mask_np(mask: np.ndarray) -> np.ndarray:
+    """Host-side exact-size version: (freq, cols) mask -> (N, 2) int32 unique
+    sorted (time, hash) pairs. Reference-faithful; used by the single-file
+    API and as the oracle path."""
+    F, C = mask.shape
+    bins_f, cols_c = np.nonzero(mask)
+    order = np.lexsort((bins_f, cols_c))
+    cols_s, bins_s = cols_c[order], bins_f[order]
+    P = len(cols_s)
+    out = []
+    for i in range(P):
+        pairs = 0
+        for j in range(i + 1, P):
+            dt = cols_s[j] - cols_s[i]
+            if dt >= TARGETDT:
+                break
+            if dt < MINDT:
+                continue
+            if abs(int(bins_s[j]) - int(bins_s[i])) < TARGETDF:
+                h = (
+                    ((int(bins_s[i]) & 255) << 12)
+                    | (((int(bins_s[j]) - int(bins_s[i])) & 63) << 6)
+                    | (dt & 63)
+                )
+                out.append((int(cols_s[i]), h))
+                pairs += 1
+                if pairs >= MAXPAIRSPERPEAK:
+                    break
+    if not out:
+        return np.zeros((0, 2), np.int32)
+    arr = np.asarray(out, np.int64)
+    packed = (arr[:, 0] << 32) + arr[:, 1]
+    uniq = np.unique(packed)
+    return np.stack([uniq >> 32, uniq & 0xFFFFFFFF], axis=1).astype(np.int32)

@@ -1,0 +1,225 @@
+"""audfprint landmark peak extraction — batched lax.scan TPU kernel.
+
+The reference's hottest loop (SURVEY.md §3, "hot loops ranked #1") is the
+decaying-threshold peak pruner: a Python loop over spectrogram columns with a
+mutable 256-bin threshold envelope, run 10k queries x 4 shifts at eval time
+(ref: afp/audfprint/peak_extractor.py:173-234).
+
+TPU-native design: one ``lax.scan`` over time columns, vectorized over the
+*batch* — the carry is the (batch, freq) threshold envelope, each step does
+dense (batch, freq) vector work (local-max detection, top-k, Gaussian
+max-merge from a precomputed (freq, freq) bump table). Two key observations
+make the forward pass embarrassingly vectorizable within a column:
+
+* candidates are tested against the *column-start* threshold, and all top-k
+  survivors are accepted unconditionally (peak_extractor.py:190-203), so the
+  per-column threshold update commutes — a single max over k Gaussian rows;
+* the backward pass *does* have an intra-column dependency (each accepted
+  peak raises the bar for smaller ones, :206-234), but forward pruning caps
+  peaks per column at ``maxpksperframe`` (5), so a tiny unrolled loop of 5
+  argmax steps suffices.
+
+Whole-batch peak masks for B 8-second queries are produced by a single XLA
+program; there is no per-query Python.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from musicfpaugment_tpu.core.convolve import fft_convolve
+from musicfpaugment_tpu.core.stft import stft
+
+Array = jnp.ndarray
+
+
+# ------------------------------------------------------------ frontend
+
+
+def spectrogram_frontend(
+    waveforms: Array,
+    n_fft: int = 512,
+    n_hop: int = 256,
+    denoiser: Optional[Callable[[Array], Array]] = None,
+) -> Array:
+    """|STFT| / max, with optional spectrogram denoiser hook.
+
+    ref: peak_extractor.py:256-269 — per-example max normalization, then the
+    (optional) UNet denoiser on the normalized magnitude.
+    Returns (batch, n_fft//2 + 1, frames).
+    """
+    sgram = jnp.abs(stft(waveforms, n_fft=n_fft, hop_length=n_hop))
+    denom = jnp.max(sgram, axis=(-2, -1), keepdims=True)
+    sgram = sgram / jnp.maximum(denom, jnp.finfo(sgram.dtype).tiny)
+    if denoiser is not None:
+        sgram = denoiser(sgram)
+    return sgram
+
+
+def log_hpf_frontend(sgram: Array) -> Array:
+    """log + mean-subtract + per-row one-pole HPF, Nyquist row dropped.
+
+    ref: peak_extractor.py:271-290. The IIR ``lfilter([1,-1],[1,-0.98])`` is
+    a first-order recurrence; it is evaluated exactly as a convolution of the
+    first difference with the 0.98^k exponential kernel (FFT conv — no
+    sequential loop).
+    """
+    sgrammax = jnp.max(sgram, axis=(-2, -1), keepdims=True)
+    safe = jnp.maximum(sgram, sgrammax / 1e6)
+    logsg = jnp.log(jnp.where(sgrammax > 0, safe, 1.0))
+    logsg = logsg - jnp.mean(logsg, axis=(-2, -1), keepdims=True)
+    # first difference x[n] - x[n-1] with x[-1] = 0
+    n_cols = logsg.shape[-1]
+    diff = logsg - jnp.pad(logsg, [(0, 0)] * (logsg.ndim - 1) + [(1, 0)])[..., :-1]
+    kernel = jnp.asarray(0.98 ** np.arange(n_cols, dtype=np.float64), jnp.float32)
+    filtered = fft_convolve(diff, kernel, mode="full")[..., :n_cols]
+    return filtered[..., :-1, :]  # drop Nyquist row so bins fit in 8 bits
+
+
+# ------------------------------------------------------------ peak pruning
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_table_np(npts: int, width: float) -> np.ndarray:
+    """(npts, npts) table G[p, i] = exp(-0.5 ((i - p) / width)^2)
+    (the reference's cached __sp_vals, peak_extractor.py:159-171, unrolled
+    into a gatherable matrix)."""
+    d = np.arange(npts)[None, :] - np.arange(npts)[:, None]
+    return np.exp(-0.5 * (d / width) ** 2).astype(np.float32)
+
+
+def _locmax(v: Array) -> Array:
+    """Boolean local-max mask on the trailing axis, end-point semantics of
+    the reference's ``locmax`` (peak_extractor.py:61-73): first point is a
+    peak if v[0] > v[1] fails to dominate... precisely: nbr[i] = v[i] >=
+    v[i-1] (nbr[0]=True, nbr[n]=False), mask = nbr[:-1] & ~nbr[1:]."""
+    up = v[..., 1:] >= v[..., :-1]
+    shape_one = v.shape[:-1] + (1,)
+    nbr_prev = jnp.concatenate([jnp.ones(shape_one, bool), up], axis=-1)
+    nbr_next = jnp.concatenate([up, jnp.zeros(shape_one, bool)], axis=-1)
+    return nbr_prev & ~nbr_next
+
+
+def _spread_init(v: Array, gauss: Array) -> Array:
+    """Initial threshold envelope: max of Gaussians at the local maxima of v
+    over a zero base (ref: spreadpeaksinvector, peak_extractor.py:115-171).
+    v: (B, F) -> (B, F)."""
+    mask = _locmax(v)
+    vals = jnp.where(mask, v, -jnp.inf)  # (B, F)
+    bumps = vals[..., None] * gauss[None, :, :]  # (B, F, F); -inf rows vanish
+    return jnp.maximum(0.0, jnp.max(bumps, axis=-2))
+
+
+def forward_prune(sgram: Array, a_dec: float, f_sd: float, maxpks: int) -> Array:
+    """Forward decaying-threshold prune (ref: peak_extractor.py:173-204).
+
+    sgram: (batch, freq, cols) log-HPF spectrogram (Nyquist already dropped).
+    Returns boolean peak mask (batch, freq, cols).
+    """
+    B, F, C = sgram.shape
+    gauss = jnp.asarray(_gauss_table_np(F, f_sd))
+    sthresh0 = _spread_init(jnp.max(sgram[..., : min(10, C)], axis=-1), gauss)
+
+    def step(sthresh, s_col):  # s_col: (B, F)
+        cand = _locmax(s_col) & (s_col > sthresh)
+        vals = jnp.where(cand, s_col, -jnp.inf)
+        top_vals, top_idx = jax.lax.top_k(vals, maxpks)  # (B, k)
+        accept = top_vals > -jnp.inf
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, maxpks, F), 2)
+            == top_idx[..., None]
+        )
+        peaks_col = jnp.any(onehot & accept[..., None], axis=1)  # (B, F)
+        bumps = jnp.where(
+            accept[..., None], top_vals[..., None] * gauss[top_idx], -jnp.inf
+        )  # (B, k, F)
+        sthresh = jnp.maximum(sthresh, jnp.max(bumps, axis=1)) * a_dec
+        return sthresh, peaks_col
+
+    _, peaks = jax.lax.scan(step, sthresh0, jnp.moveaxis(sgram, -1, 0))
+    return jnp.moveaxis(peaks, 0, -1)  # (B, F, C)
+
+
+def backward_prune(
+    sgram: Array, peaks: Array, a_dec: float, f_sd: float, maxpks: int
+) -> Array:
+    """Backward prune: remove peaks masked by later-in-time peaks
+    (ref: peak_extractor.py:206-234).
+
+    Processes columns in reverse; within a column, peaks are re-tested in
+    descending value order against the envelope *updated by the larger peaks
+    of the same column* — a 5-step unrolled argmax loop. A kept peak also
+    deletes any same-bin peak in the immediately following column (already
+    processed, so only the output mask is affected).
+    """
+    B, F, C = sgram.shape
+    gauss = jnp.asarray(_gauss_table_np(F, f_sd))
+    sthresh0 = _spread_init(sgram[..., -1], gauss)
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (B, F), 1)
+
+    def step(sthresh, xs):
+        s_col, peaks_col = xs  # (B, F)
+        vals = jnp.where(peaks_col, s_col, -jnp.inf)
+        kept = jnp.zeros((B, F), bool)
+
+        def inner(_, state):
+            vals, sthresh, kept = state
+            pos = jnp.argmax(vals, axis=-1)  # (B,)
+            val = jnp.take_along_axis(vals, pos[:, None], axis=-1)[:, 0]
+            active = val > -jnp.inf
+            thr_at = jnp.take_along_axis(sthresh, pos[:, None], axis=-1)[:, 0]
+            keep = active & (val >= thr_at)
+            onehot = iota_f == pos[:, None]  # (B, F)
+            bump = jnp.where(keep[:, None], val[:, None] * gauss[pos], -jnp.inf)
+            sthresh = jnp.maximum(sthresh, bump)
+            kept = kept | (onehot & keep[:, None])
+            vals = jnp.where(onehot, -jnp.inf, vals)
+            return vals, sthresh, kept
+
+        vals, sthresh, kept = jax.lax.fori_loop(
+            0, maxpks, inner, (vals, sthresh, kept)
+        )
+        return sthresh * a_dec, kept
+
+    xs = (
+        jnp.moveaxis(sgram, -1, 0)[::-1],
+        jnp.moveaxis(peaks, -1, 0)[::-1],
+    )
+    _, kept_rev = jax.lax.scan(step, sthresh0, xs)
+    kept = jnp.moveaxis(kept_rev[::-1], 0, -1)  # (B, F, C)
+    # a kept peak at column c deletes a same-bin peak at column c+1
+    kill = jnp.pad(kept, [(0, 0), (0, 0), (1, 0)])[..., :-1]
+    return kept & ~kill
+
+
+def find_peaks_batch(
+    waveforms: Array,
+    density: float = 20.0,
+    n_fft: int = 512,
+    n_hop: int = 256,
+    f_sd: float = 30.0,
+    maxpksperframe: int = 5,
+    denoiser: Optional[Callable[[Array], Array]] = None,
+) -> Array:
+    """Full peak extraction for a batch of waveforms (batch, time).
+
+    Returns boolean peak mask (batch, n_fft//2, frames) — the Nyquist row is
+    dropped like the reference (peak_extractor.py:286-290). The decay
+    constant matches peak_extractor.py:295.
+    """
+    sgram = spectrogram_frontend(waveforms, n_fft, n_hop, denoiser)
+    logsg = log_hpf_frontend(sgram)
+    a_dec = float(1 - 0.01 * (density * np.sqrt(n_hop / 352.8) / 35))
+    peaks = forward_prune(logsg, a_dec, f_sd, maxpksperframe)
+    return backward_prune(logsg, peaks, a_dec, f_sd, maxpksperframe)
+
+
+find_peaks_batch_jit = jax.jit(
+    find_peaks_batch,
+    static_argnames=("density", "n_fft", "n_hop", "f_sd", "maxpksperframe", "denoiser"),
+)
