@@ -89,6 +89,7 @@ class UNet(nn.Module):
     n_classes: int = 1
     rate: float = 0.0
     bilinear: bool = False
+    base: int = 64  # width scale; 64 = the reference channel plan
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -98,16 +99,17 @@ class UNet(nn.Module):
             x = x[..., None]
         dropout = lambda h: nn.Dropout(self.rate, deterministic=not train)(h)
         factor = 2 if self.bilinear else 1
+        b = self.base
 
-        x1 = DoubleConv(64)(x, train=train)
-        x2 = dropout(Down(128)(x1, train=train))
-        x3 = dropout(Down(256)(x2, train=train))
-        x4 = dropout(Down(512)(x3, train=train))
-        x5 = dropout(Down(1024 // factor)(x4, train=train))
-        h = dropout(Up(512 // factor, self.bilinear)(x5, x4, train=train))
-        h = Up(256 // factor, self.bilinear)(h, x3, train=train)
-        h = Up(128 // factor, self.bilinear)(h, x2, train=train)
-        h = Up(64, self.bilinear)(h, x1, train=train)
+        x1 = DoubleConv(b)(x, train=train)
+        x2 = dropout(Down(2 * b)(x1, train=train))
+        x3 = dropout(Down(4 * b)(x2, train=train))
+        x4 = dropout(Down(8 * b)(x3, train=train))
+        x5 = dropout(Down(16 * b // factor)(x4, train=train))
+        h = dropout(Up(8 * b // factor, self.bilinear)(x5, x4, train=train))
+        h = Up(4 * b // factor, self.bilinear)(h, x3, train=train)
+        h = Up(2 * b // factor, self.bilinear)(h, x2, train=train)
+        h = Up(b, self.bilinear)(h, x1, train=train)
         logits = nn.Conv(self.n_classes, (1, 1))(h)
         if squeeze_channel and self.n_classes == 1:
             logits = logits[..., 0]

@@ -1,0 +1,19 @@
+"""Parallelism layer: mesh construction and sharding placement."""
+
+from musicfpaugment_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

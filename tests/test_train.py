@@ -1,0 +1,161 @@
+"""Training stack tests: losses vs oracles, data-parallel trainer on the
+virtual 8-device CPU mesh, checkpoint resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicfpaugment_tpu import augment
+from musicfpaugment_tpu.data.synthetic import synthetic_clean_batches
+from musicfpaugment_tpu.models import Demucs, UNet
+from musicfpaugment_tpu.parallel import make_mesh
+from musicfpaugment_tpu.train import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    Trainer,
+    multi_resolution_stft_loss,
+    psnr,
+    spectral_convergence_loss,
+    stft_magnitude,
+)
+
+SR = 8000
+
+
+# ------------------------------------------------------------ losses
+
+def test_spectral_convergence_zero_for_identical(rng):
+    x = jnp.asarray(rng.standard_normal((2, 100, 50)).astype(np.float32)) ** 2 + 0.1
+    assert float(spectral_convergence_loss(x, x)) == 0.0
+
+
+def test_stft_magnitude_shape(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    mag = stft_magnitude(x, fft_size=1024, hop_size=120, win_length=600)
+    assert mag.shape[0] == 2 and mag.shape[2] == 513
+    assert float(jnp.min(mag)) >= np.sqrt(1e-7) * 0.999
+
+
+def test_mrstft_loss_decreases_with_similarity(rng):
+    clean = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    noisy = clean + 0.5 * jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    very_noisy = clean + 2.0 * jnp.asarray(
+        rng.standard_normal((2, 8000)).astype(np.float32)
+    )
+    sc1, mag1 = multi_resolution_stft_loss(noisy, clean, factor_sc=0.5, factor_mag=0.5)
+    sc2, mag2 = multi_resolution_stft_loss(
+        very_noisy, clean, factor_sc=0.5, factor_mag=0.5
+    )
+    assert float(sc1 + mag1) < float(sc2 + mag2)
+
+
+def test_psnr_known_value():
+    target = jnp.zeros((10, 10))
+    pred = jnp.full((10, 10), 0.1)
+    # data_range = 0.1, mse = 0.01 -> psnr = 10*log10(0.01/0.01) = 0
+    assert abs(float(psnr(pred, target))) < 1e-4
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8)), jnp.float32)
+    assert float(psnr(x, x)) > 50
+
+
+# ------------------------------------------------------------ schedulers
+
+def test_early_stopping_semantics():
+    es = EarlyStopping(patience=2, min_delta=0.0)
+    es(1.0)
+    assert es.counter == 0
+    es(1.0)  # no improvement (not strictly > min_delta)
+    assert es.counter == 1
+    es(0.5)
+    assert es.counter == 0
+    es(0.6)
+    es(0.6)
+    assert es.early_stop
+
+
+def test_reduce_lr_on_plateau():
+    sch = ReduceLROnPlateau(factor=0.1, patience=2)
+    sch.step(1.0)
+    for _ in range(3):
+        sch.step(1.0)
+    assert np.isclose(sch.scale, 0.1)
+
+
+# ------------------------------------------------------------ trainer
+
+def _make_trainer(tmp_path, model, input_type, save=False, steps=2, batch=8):
+    noise_bank, ir_bank = augment.synthetic_banks(
+        sample_rate=SR, noise_row_length=SR, num_noise=4, num_irs=2
+    )
+    augmenter = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    n = SR  # 1 s clips for test speed
+    return Trainer(
+        model=model,
+        train_iter=synthetic_clean_batches(batch, n, SR, seed=1),
+        train_steps=steps,
+        val_iter=synthetic_clean_batches(batch, n, SR, seed=2),
+        val_steps=steps,
+        learning_rate=1e-3,
+        nb_epochs=3,
+        checkpoint=str(tmp_path),
+        input_type=input_type,
+        mesh=make_mesh(8),
+        augmenter=augmenter,
+        save=save,
+        example_batch=next(synthetic_clean_batches(batch, n, SR)),
+    )
+
+
+@pytest.mark.slow
+def test_trainer_unet_loss_decreases(tmp_path):
+    trainer = _make_trainer(tmp_path, UNet(1, 1, rate=0.05, base=8), "spec")
+    first = trainer.train_epoch(1)
+    for _ in range(4):
+        last = trainer.train_epoch(1)
+    assert np.isfinite(first["loss"]) and np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"]
+
+
+@pytest.mark.slow
+def test_trainer_demucs_step(tmp_path):
+    trainer = _make_trainer(
+        tmp_path, Demucs(hidden=8, depth=3), "audio", steps=1, batch=8
+    )
+    losses = trainer.train_epoch(1)
+    assert set(losses) == {"loss", "l1_loss", "sc_loss", "mag_loss"}
+    val_losses, metrics = trainer.validation_epoch()
+    assert "psnr" in metrics
+    assert np.isfinite(val_losses["loss"])
+
+
+@pytest.mark.slow
+def test_trainer_checkpoint_resume(tmp_path):
+    trainer = _make_trainer(
+        tmp_path, UNet(1, 1, rate=0.05, base=8), "spec", save=True, steps=1
+    )
+    trainer.nb_epochs = 2
+    trainer.training_loop()
+    p0 = jax.device_get(trainer.state.params)
+
+    trainer2 = _make_trainer(
+        tmp_path, UNet(1, 1, rate=0.05, base=8), "spec", save=True, steps=1
+    )
+    assert trainer2.epoch_start == 1  # last completed epoch
+    p1 = jax.device_get(trainer2.state.params)
+    leaves0 = jax.tree_util.tree_leaves(p0)
+    leaves1 = jax.tree_util.tree_leaves(p1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_data_parallel_matches_single_device(tmp_path):
+    """Same seed/state, 8-device mesh vs 1-device mesh -> same loss."""
+    model = UNet(1, 1, rate=0.0, base=8)
+    t8 = _make_trainer(tmp_path / "a", model, "spec", steps=1, batch=8)
+    t1 = _make_trainer(tmp_path / "b", model, "spec", steps=1, batch=8)
+    t1.mesh = make_mesh(1)
+    t1._compile_steps()
+    l8 = t8.train_epoch(1)["loss"]
+    l1_ = t1.train_epoch(1)["loss"]
+    np.testing.assert_allclose(l8, l1_, rtol=1e-4)
