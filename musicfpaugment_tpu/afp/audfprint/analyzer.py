@@ -169,13 +169,22 @@ class AudfprintPeaks:
         return resample(mono, sr, self.target_sr)
 
     def wavfile2peaks(
-        self, filename: Union[str, np.ndarray], shifts: Optional[int] = None
+        self,
+        filename: Union[str, np.ndarray],
+        shifts: Optional[int] = None,
+        get_masks_waveforms: bool = False,
     ):
-        """ref: peak_extractor.py:348-424 (pkl/npy/wav instead of pkl/mp3)."""
+        """ref: peak_extractor.py:348-424 (pkl/npy/wav instead of pkl/mp3).
+
+        With ``get_masks_waveforms`` returns (peaks_mask, waveform, sgram)
+        like the reference (:420-421), used by the peaks-metrics harness."""
         d = self._load(filename)
         if self.denoising and self.denoising_model == "demucs":
             d = np.asarray(self.wave_denoiser(jnp.asarray(d)[None, :]))[0]
         self.soundfiledur = len(d) / self.target_sr
+        if get_masks_waveforms:
+            _, mask, sgram = self.find_peaks(d)
+            return mask, d, sgram
         if shifts is None or shifts < 2:
             peaks, _, _ = self.find_peaks(d)
             return peaks

@@ -225,6 +225,29 @@ class Dejavu:
             if (self.denoising and self.denoising_model == "unet")
             else None
         )
+        if get_masks is True:
+            # the masks path takes a filename and applies the full read()
+            # (incl. waveform denoising) first — ref: dejavu.py:283-293
+            channels, _, _ = read(
+                samples,
+                denoising=self.denoising,
+                denoising_model=self.denoising_model or "unet",
+                wave_denoiser=self.wave_denoiser,
+                sample_rate=Fs,
+            )
+            _hashes, peak_mask, specgram = fingerprint(
+                channels[0],
+                Fs=Fs,
+                wsize=self.settings["n_fft"],
+                n_hop=self.settings["n_hop"],
+                fan_value=self.settings["fan_value"],
+                amp_min=self.settings["amp_min"],
+                denoising=self.denoising,
+                denoising_model=self.denoising_model or "unet",
+                denoiser=hook,
+                get_masks=True,
+            )
+            return peak_mask, specgram
         result = fingerprint(
             samples,
             Fs=Fs,
@@ -235,11 +258,8 @@ class Dejavu:
             denoising=self.denoising,
             denoising_model=self.denoising_model or "unet",
             denoiser=hook,
-            get_masks=get_masks,
+            get_masks=False,
         )
-        if get_masks is True:
-            _hashes, peak_mask, specgram = result
-            return peak_mask, specgram
         fingerprint_time = time() - t
         return result, fingerprint_time
 

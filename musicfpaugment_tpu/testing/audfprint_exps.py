@@ -1,0 +1,231 @@
+"""Audfprint evaluation CLI (ref: testing/audfprint_exps.py:17-244).
+
+Actions: ``index`` (ingest FMA into the hash table), ``identification_rate``
+(accuracy over the 11 conditions with no-denoise / denoise / mix-pipeline
+variants), ``peaks_metrics`` (peak P/R/F1 + PSNR of augmented and denoised
+queries against clean peaks).
+
+Analyzers/denoisers are injectable (no import-time checkpoint loads); results
+go to ``testing/results/*.json`` like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from musicfpaugment_tpu.afp.audfprint import AudfprintPeaks, HashTable, Matcher
+from musicfpaugment_tpu.testing.metrics import F1score, Precision, Recall, psnr
+from musicfpaugment_tpu.testing.parameters import (
+    afp_db_paths,
+    afp_settings,
+    queries_paths,
+)
+
+RESULTS_DIR = os.environ.get(
+    "MFPA_RESULTS_DIR", os.path.join(os.path.dirname(__file__), "results")
+)
+
+
+def create_fp_database(
+    files: List[str], dbpath: str, analyzer: Optional[AudfprintPeaks] = None
+) -> None:
+    """ref: audfprint_exps.py:17-28."""
+    hash_tab = HashTable()
+    analyzer = analyzer or AudfprintPeaks(afp_settings["audfprint"])
+    analyzer.shifts = 1
+    for filename in files:
+        try:
+            analyzer.ingest(hash_tab, filename)
+        except Exception:
+            print("error with ", filename)
+    hash_tab.save(dbpath)
+
+
+def compute_accuracy(
+    files: List[str],
+    dbpath,
+    analyzer1: AudfprintPeaks,
+    analyzer2: AudfprintPeaks,
+) -> Dict[str, float]:
+    """No-denoise / denoise / mix-rule accuracy (ref: audfprint_exps.py:31-83).
+
+    The mix pipeline picks whichever analyzer produced more aligned hashes.
+    """
+    hash_tab = dbpath if isinstance(dbpath, HashTable) else HashTable(dbpath)
+    matcher = Matcher()
+    acc_no_den = 0
+    acc_den = 0
+    acc_mix = 0
+    for filename in files:
+        gt = str(filename).split("/")[-1].split(".")[0]
+        msgs1 = matcher.file_match_to_msgs(analyzer1, hash_tab, filename)
+        msgs2 = matcher.file_match_to_msgs(analyzer2, hash_tab, filename)
+        pred1 = msgs1[1].split("/")[-1].split(".")[0]
+        if msgs1[0] == "MATCH" and str(gt) == str(pred1):
+            acc_no_den += 1
+        pred2 = msgs2[1].split("/")[-1].split(".")[0]
+        if msgs2[0] == "MATCH" and str(gt) == str(pred2):
+            acc_den += 1
+        if msgs1[2] >= msgs2[2]:
+            pred_mix, message = pred1, msgs1[0]
+        else:
+            pred_mix, message = pred2, msgs2[0]
+        if message == "MATCH" and str(gt) == str(pred_mix):
+            acc_mix += 1
+    n = len(files)
+    return {
+        "No Denoising": acc_no_den / n,
+        "With Denoising": acc_den / n,
+        "Mix Pipeline": acc_mix / n,
+    }
+
+
+def compute_peaks_metrics(
+    queries_augmented: List[str],
+    analyzer_no_den: AudfprintPeaks,
+    analyzer_den: AudfprintPeaks,
+    cleans_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """ref: audfprint_exps.py:86-157."""
+    cleans_path = cleans_path or queries_paths["cleans"]
+    precision = Precision()
+    recall = Recall()
+    f1_score = F1score()
+    acc = {k: 0.0 for k in [
+        "precision_no_den", "recall_no_den", "f1_score_no_den",
+        "psnr_no_den_spec", "prec_den", "rec_den", "f1_den", "psnr_den_spec",
+    ]}
+    for qpath in queries_augmented:
+        query = str(qpath).split("/")[-1]
+        query_clean = os.path.join(cleans_path, query)
+
+        m_clean, _, sgram_clean = analyzer_no_den.wavfile2peaks(
+            query_clean, get_masks_waveforms=True
+        )
+        m_aug, _, sgram_aug = analyzer_no_den.wavfile2peaks(
+            qpath, get_masks_waveforms=True
+        )
+        m_den, _, sgram_den = analyzer_den.wavfile2peaks(
+            qpath, get_masks_waveforms=True
+        )
+        mc = np.asarray(m_clean).T[None]
+        ma = np.asarray(m_aug).T[None]
+        md = np.asarray(m_den).T[None]
+        acc["precision_no_den"] += precision(ma, mc)
+        acc["prec_den"] += precision(md, mc)
+        acc["recall_no_den"] += recall(ma, mc)
+        acc["rec_den"] += recall(md, mc)
+        acc["f1_score_no_den"] += f1_score(ma, mc)
+        acc["f1_den"] += f1_score(md, mc)
+        acc["psnr_no_den_spec"] += float(psnr(sgram_aug[None], sgram_clean[None]))
+        acc["psnr_den_spec"] += float(psnr(sgram_den[None], sgram_clean[None]))
+    n = len(queries_augmented)
+    return {k: v / n for k, v in acc.items()}
+
+
+def identification_rate_results(
+    denoising_model: str = "unet",
+    spec_denoiser=None,
+    wave_denoiser=None,
+    query_paths: Optional[Dict[str, str]] = None,
+    dbpath=None,
+) -> Dict[str, Dict[str, float]]:
+    """ref: audfprint_exps.py:160-185."""
+    results = {}
+    query_paths = query_paths or queries_paths
+    dbpath = dbpath if dbpath is not None else afp_db_paths["audfprint"]
+    for augmentation, query_path in query_paths.items():
+        print("augmentation:", augmentation)
+        queries = [
+            os.path.join(query_path, query) for query in sorted(os.listdir(query_path))
+        ]
+        analyzer_no_den = AudfprintPeaks(afp_settings["audfprint"])
+        analyzer_no_den.shifts = 4
+        analyzer_den = AudfprintPeaks(
+            afp_settings["audfprint"],
+            denoising=True,
+            denoising_model=denoising_model,
+            spec_denoiser=spec_denoiser,
+            wave_denoiser=wave_denoiser,
+        )
+        analyzer_den.shifts = 4
+        results[str(augmentation)] = compute_accuracy(
+            queries, dbpath, analyzer_no_den, analyzer_den
+        )
+        print(results[str(augmentation)])
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    with open(
+        os.path.join(RESULTS_DIR, f"accuracy_audfprint_{denoising_model}.json"), "w"
+    ) as json_file:
+        json.dump(results, json_file, indent=4)
+    return results
+
+
+def peaks_metrics_results(
+    denoising_model: str = "unet",
+    spec_denoiser=None,
+    wave_denoiser=None,
+    query_paths: Optional[Dict[str, str]] = None,
+) -> Dict[str, Dict[str, float]]:
+    """ref: audfprint_exps.py:188-215."""
+    results = {}
+    query_paths = query_paths or queries_paths
+    for augmentation, query_path in query_paths.items():
+        if augmentation == "cleans":
+            continue
+        print("augmentation:", augmentation)
+        queries_augmented = [
+            os.path.join(query_path, query) for query in sorted(os.listdir(query_path))
+        ]
+        analyzer_no_den = AudfprintPeaks(afp_settings["audfprint"])
+        analyzer_den = AudfprintPeaks(
+            afp_settings["audfprint"],
+            denoising=True,
+            denoising_model=denoising_model,
+            spec_denoiser=spec_denoiser,
+            wave_denoiser=wave_denoiser,
+        )
+        results[str(augmentation)] = compute_peaks_metrics(
+            queries_augmented, analyzer_no_den, analyzer_den,
+            cleans_path=query_paths.get("cleans"),
+        )
+        print(results[str(augmentation)])
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    with open(
+        os.path.join(RESULTS_DIR, f"peaks_metrics_audfprint_{denoising_model}.json"),
+        "w",
+    ) as json_file:
+        json.dump(results, json_file, indent=4)
+    return results
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--action", default="identification_rate")
+    parser.add_argument("--model", default="unet")
+    args = parser.parse_args()
+
+    if str(args.action) == "index":
+        import pandas as pd
+
+        from musicfpaugment_tpu.testing.fma_preprocessing import DATASET_DIR
+
+        fma_large = pd.read_csv(
+            os.path.join(DATASET_DIR, "fma_large_preprocessed.csv")
+        )
+        create_fp_database(
+            list(fma_large["file_paths"]), afp_db_paths["audfprint"]
+        )
+    if str(args.action) == "identification_rate":
+        identification_rate_results(str(args.model))
+    if str(args.action) == "peaks_metrics":
+        peaks_metrics_results(str(args.model))
+
+
+if __name__ == "__main__":
+    main()

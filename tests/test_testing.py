@@ -1,0 +1,241 @@
+"""Evaluation-harness tests: metrics semantics, query generation, and the
+full audfprint/dejavu experiment flows on a synthetic corpus."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from musicfpaugment_tpu import augment
+from musicfpaugment_tpu.testing.metrics import (
+    F1score,
+    Precision,
+    Recall,
+    batch_peak_metrics,
+    psnr,
+)
+
+SR = 8000
+
+
+# ------------------------------------------------------------ metrics
+
+def test_recall_exact_match_semantics():
+    gt = np.zeros((1, 10, 10))
+    pred = np.zeros((1, 10, 10))
+    gt[0, 3, 3] = 1
+    gt[0, 7, 7] = 1
+    pred[0, 3, 3] = 1  # exact hit
+    pred[0, 7, 6] = 1  # one bin off -> miss with default kernel
+    r = Recall()(pred, gt)
+    assert r == pytest.approx(0.5)
+    # with +/-1 tolerance both are retrieved
+    r_tol = Recall(tolerance=1)(pred, gt)
+    assert r_tol == pytest.approx(1.0)
+
+
+def test_precision_semantics():
+    gt = np.zeros((1, 10, 10))
+    pred = np.zeros((1, 10, 10))
+    gt[0, 5, 5] = 1
+    pred[0, 5, 5] = 1
+    pred[0, 1, 1] = 1  # false positive
+    assert Precision()(pred, gt) == pytest.approx(0.5)
+
+
+def test_f1_harmonic_mean_and_zero_guard():
+    gt = np.zeros((1, 4, 4))
+    pred = np.zeros((1, 4, 4))
+    assert F1score()(pred, gt) == 0.0
+    gt[0, 1, 1] = 1
+    pred[0, 1, 1] = 1
+    assert F1score()(pred, gt) == pytest.approx(1.0)
+
+
+def test_batch_peak_metrics_matches_loop(rng):
+    pred = (rng.random((4, 32, 20)) < 0.05).astype(np.float32)
+    gt = (rng.random((4, 32, 20)) < 0.05).astype(np.float32)
+    batched = batch_peak_metrics(pred, gt)
+    prec_loop = np.mean([Precision()(pred[i][None], gt[i][None]) for i in range(4)])
+    rec_loop = np.mean([Recall()(pred[i][None], gt[i][None]) for i in range(4)])
+    assert batched["precision"] == pytest.approx(prec_loop, abs=1e-6)
+    assert batched["recall"] == pytest.approx(rec_loop, abs=1e-6)
+
+
+def test_psnr_matches_definition(rng):
+    target = rng.random((1, 20, 20)).astype(np.float32)
+    pred = target + 0.1 * rng.standard_normal((1, 20, 20)).astype(np.float32)
+    dr = max(pred.max(), target.max()) - min(pred.min(), target.min())
+    want = 10 * np.log10(dr**2 / np.mean((pred - target) ** 2))
+    assert float(psnr(pred, target)) == pytest.approx(want, rel=1e-4)
+
+
+# ------------------------------------------------------------ query gen
+
+def _write_wav_tracks(tmp_path, rng, n=6, seconds=10):
+    import scipy.io.wavfile
+
+    os.makedirs(tmp_path, exist_ok=True)
+    paths = []
+    for i in range(n):
+        t = np.arange(seconds * SR)
+        x = np.zeros(len(t), np.float32)
+        for _ in range(seconds * 25):
+            f = rng.uniform(80, 3500)
+            s = int(rng.integers(0, len(t) - SR // 8))
+            d = int(rng.integers(SR // 16, SR // 4))
+            seg = np.arange(min(d, len(t) - s))
+            x[s : s + len(seg)] += (
+                np.sin(2 * np.pi * f * seg / SR) * np.exp(-8 * seg / SR)
+            ).astype(np.float32)
+        x = (x / np.abs(x).max() * 32000).astype(np.int16)
+        p = str(tmp_path / f"track_{i:03d}.wav")
+        scipy.io.wavfile.write(p, SR, x)
+        paths.append(p)
+    return paths
+
+
+def test_generate_clean_and_augmented_queries(tmp_path, rng):
+    from musicfpaugment_tpu.testing.generate_queries import (
+        generate_augmented_queries,
+        generate_clean_queries,
+    )
+
+    tracks = _write_wav_tracks(tmp_path / "tracks", rng)
+    (tmp_path / "tracks").mkdir(exist_ok=True)
+    cleans = tmp_path / "cleans"
+    generate_clean_queries(tracks, str(cleans), duration=2, save=True)
+    files = sorted(os.listdir(cleans))
+    assert len(files) == len(tracks)
+    with open(cleans / files[0], "rb") as f:
+        q = pickle.load(f)
+    assert q.shape == (2 * SR,)
+
+    noise_bank, ir_bank = augment.synthetic_banks(
+        sample_rate=SR, noise_row_length=2 * SR, num_noise=4, num_irs=2
+    )
+    augmenter = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    aug_dir = tmp_path / "bn_0"
+    generate_augmented_queries(
+        str(aug_dir), {}, save=True, augmenter=augmenter, cleans_path=str(cleans)
+    )
+    assert sorted(os.listdir(aug_dir)) == files
+    with open(aug_dir / files[0], "rb") as f:
+        a = pickle.load(f)
+    assert a.shape == (2 * SR,)
+    assert np.isfinite(a).all()
+
+    # determinism: regenerating with a fresh augmenter reproduces bit-exact
+    augmenter2 = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    aug_dir2 = tmp_path / "bn_0_again"
+    generate_augmented_queries(
+        str(aug_dir2), {}, save=True, augmenter=augmenter2, cleans_path=str(cleans)
+    )
+    with open(aug_dir2 / files[0], "rb") as f:
+        a2 = pickle.load(f)
+    np.testing.assert_array_equal(a, a2)
+
+
+# ------------------------------------------------------------ experiments
+
+@pytest.mark.slow
+def test_audfprint_experiment_flow(tmp_path, rng):
+    from musicfpaugment_tpu.afp.audfprint import AudfprintPeaks, HashTable
+    from musicfpaugment_tpu.testing.audfprint_exps import (
+        compute_accuracy,
+        compute_peaks_metrics,
+    )
+    from musicfpaugment_tpu.testing.generate_queries import (
+        generate_augmented_queries,
+        generate_clean_queries,
+    )
+    from musicfpaugment_tpu.testing.parameters import afp_settings
+
+    tracks = _write_wav_tracks(tmp_path / "tracks", rng, n=6)
+    cleans = tmp_path / "cleans"
+    generate_clean_queries(tracks, str(cleans), duration=2, save=True)
+
+    noise_bank, ir_bank = augment.synthetic_banks(
+        sample_rate=SR, noise_row_length=2 * SR, num_noise=4, num_irs=2
+    )
+    from musicfpaugment_tpu.testing.parameters import bn_p10_params
+
+    augmenter = augment.AugmentFP(
+        noise_bank, SR, parameters=bn_p10_params, impulse_response_dir=ir_bank
+    )
+    aug_dir = tmp_path / "bn_p10"
+    generate_augmented_queries(
+        str(aug_dir), bn_p10_params, save=True, augmenter=augmenter,
+        cleans_path=str(cleans),
+    )
+
+    # index the full tracks
+    analyzer = AudfprintPeaks(afp_settings["audfprint"])
+    ht = HashTable()
+    for p in tracks:
+        analyzer.ingest(ht, p)
+
+    queries = [str(aug_dir / q) for q in sorted(os.listdir(aug_dir))]
+    a1 = AudfprintPeaks(afp_settings["audfprint"])
+    a1.shifts = 4
+    identity = lambda s: s  # "denoiser" stub: identity spectrogram model
+    a2 = AudfprintPeaks(
+        afp_settings["audfprint"], denoising=True, denoising_model="unet",
+        spec_denoiser=identity,
+    )
+    a2.shifts = 4
+    acc = compute_accuracy(queries, ht, a1, a2)
+    assert set(acc) == {"No Denoising", "With Denoising", "Mix Pipeline"}
+    # light bn at +10 dB SNR: most queries should still be identified
+    assert acc["No Denoising"] >= 0.5
+    assert acc["Mix Pipeline"] >= acc["No Denoising"] - 1e-9
+
+    pm = compute_peaks_metrics(queries[:3], a1, a2, cleans_path=str(cleans))
+    assert 0 <= pm["f1_score_no_den"] <= 1
+    assert pm["psnr_no_den_spec"] > 0
+    # identity "denoiser" must give identical metrics to no-denoise
+    assert pm["f1_den"] == pytest.approx(pm["f1_score_no_den"], abs=1e-6)
+
+
+@pytest.mark.slow
+def test_dejavu_experiment_flow(tmp_path, rng):
+    from musicfpaugment_tpu.afp.dejavu import Dejavu
+    from musicfpaugment_tpu.afp.dejavu.sqlite_database import SQLiteDatabase
+    from musicfpaugment_tpu.testing.dejavu_exps import compute_accuracy
+    from musicfpaugment_tpu.testing.generate_queries import (
+        generate_augmented_queries,
+        generate_clean_queries,
+    )
+
+    tracks = _write_wav_tracks(tmp_path / "tracks", rng, n=5)
+    cleans = tmp_path / "cleans"
+    generate_clean_queries(tracks, str(cleans), duration=2, save=True)
+    noise_bank, ir_bank = augment.synthetic_banks(
+        sample_rate=SR, noise_row_length=2 * SR, num_noise=4, num_irs=2
+    )
+    from musicfpaugment_tpu.testing.parameters import bn_p10_params
+
+    augmenter = augment.AugmentFP(
+        noise_bank, SR, parameters=bn_p10_params, impulse_response_dir=ir_bank
+    )
+    aug_dir = tmp_path / "bn_p10"
+    generate_augmented_queries(
+        str(aug_dir), bn_p10_params, save=True, augmenter=augmenter,
+        cleans_path=str(cleans),
+    )
+
+    db = SQLiteDatabase(":memory:")
+    djv = Dejavu({}, state="set", db=db)
+    djv.fingerprint_directory(tracks)
+    assert djv.db.get_num_songs() == 5
+
+    identity = lambda s: s
+    djv_den = Dejavu(
+        {}, state="set", denoising=True, denoising_model="unet",
+        spec_denoiser=identity, db=db,
+    )
+    queries = [str(aug_dir / q) for q in sorted(os.listdir(aug_dir))]
+    acc = compute_accuracy(queries, djv, djv_den)
+    assert acc["No Denoising"] >= 0.4
+    assert set(acc) == {"No Denoising", "With Denoising", "Mix Pipeline"}
