@@ -1,0 +1,48 @@
+// Native batch decoder: thread-pool parallel WAV decoding.
+//
+// The data loader's hot host path — decodes a batch of files concurrently
+// (the reference leans on tf.data AUTOTUNE threads around torchaudio;
+// here it is an explicit std::thread pool around our own decoder).
+
+#include <atomic>
+#include <cstdint>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+struct WavInfo {
+  int32_t sample_rate;
+  int32_t channels;
+  int64_t frames;
+  int32_t bits_per_sample;
+  int32_t format;
+};
+
+int mfpa_read_wav(const char* path, float** out, WavInfo* info);
+
+// Decode n files in parallel with up to `num_threads` workers.
+// outs[i] receives a malloc'd interleaved float32 buffer (or nullptr on
+// error), infos[i] the per-file metadata, rcs[i] the per-file return code.
+void mfpa_read_wav_batch(const char** paths, int n, float** outs,
+                         WavInfo* infos, int* rcs, int num_threads) {
+  if (num_threads <= 0) num_threads = (int)std::thread::hardware_concurrency();
+  if (num_threads <= 0) num_threads = 4;
+  if (num_threads > n) num_threads = n;
+
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      outs[i] = nullptr;
+      rcs[i] = mfpa_read_wav(paths[i], &outs[i], &infos[i]);
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve((size_t)num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // extern "C"
