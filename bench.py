@@ -42,12 +42,16 @@ def bench_augment(batch_size: int = 256, seconds: int = 8, sr: int = 8000):
     )
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile, plus a few extra calls to fill the dispatch pipeline
     t0 = time.perf_counter()
     fp.batch_augment(wavs, key=key).block_until_ready()
     log(f"augment compile+first batch: {time.perf_counter() - t0:.1f}s")
+    warm_keys = jax.random.split(jax.random.PRNGKey(2), 8)
+    for k in warm_keys:
+        out = fp.batch_augment(wavs, key=k)
+    out.block_until_ready()
 
-    iters = 8
+    iters = 48
     keys = jax.random.split(jax.random.PRNGKey(1), iters)
     t0 = time.perf_counter()
     for i in range(iters):
@@ -72,11 +76,19 @@ def bench_peaks(batch_size: int = 64, seconds: int = 8, sr: int = 8000):
     t0 = time.perf_counter()
     fn(wavs).block_until_ready()
     log(f"peaks compile+first batch: {time.perf_counter() - t0:.1f}s")
-    iters = 4
+    # vary the input per call so no layer can memoize identical executions;
+    # chain a cheap dependency so iterations serialize on device
+    iters = 16
+    jax.block_until_ready(fn(wavs))  # pipeline warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(wavs)
-    out.block_until_ready()
+    cur = wavs
+    for i in range(iters):
+        mask = fn(cur)
+        # feed a scalar derived from the mask back into the next input
+        cur = wavs + jax.numpy.sum(
+            mask.astype(jax.numpy.float32), axis=(1, 2)
+        )[:, None] * 1e-9
+    jax.block_until_ready(cur)
     dt = time.perf_counter() - t0
     qps = batch_size * iters / dt
     log(f"audfprint peaks: {qps:.0f} queries/s")

@@ -141,9 +141,15 @@ class AugmentFP:
     def _chain(
         self, key: jax.Array, samples: Array, noise_bank: NoiseBank, ir_bank: IRBank
     ) -> Array:
-        return self.augmentation_pipeline.apply(
+        # Mono fast path: a size-1 channel axis pads 8x in TPU (8, 128)
+        # tiles — strip it for the whole chain and restore at the boundary.
+        mono = samples.ndim == 3 and samples.shape[1] == 1
+        if mono:
+            samples = samples[:, 0, :]
+        out = self.augmentation_pipeline.apply(
             key, samples, self.sample_rate, noise_bank=noise_bank, ir_bank=ir_bank
         )
+        return out[:, None, :] if mono else out
 
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)

@@ -51,10 +51,15 @@ def _hz_to_mel(f: float) -> float:
     return 2595.0 * math.log10(1.0 + f / 700.0)
 
 
+def _per_example(v: Array, like: Array) -> Array:
+    """Reshape a (batch,) vector to broadcast over ``like``'s trailing axes."""
+    return v.reshape(v.shape[0], *([1] * (like.ndim - 1)))
+
+
 def _apply_mask(mask: Array, transformed: Array, samples: Array) -> Array:
     """Per-example lane select (replaces clone/gather/scatter at
     transform.py:101-123)."""
-    return jnp.where(mask[:, None, None], transformed, samples)
+    return jnp.where(_per_example(mask, samples), transformed, samples)
 
 
 def _uniform(key: jax.Array, batch: int, lo: float, hi: float) -> Array:
@@ -82,9 +87,11 @@ class BaseWaveformTransform:
         noise_bank: Optional[NoiseBank] = None,
         ir_bank: Optional[IRBank] = None,
     ) -> Array:
-        if samples.ndim != 3:
+        if samples.ndim not in (2, 3):
             raise RuntimeError(
-                "expects three-dimensional input tensors [batch, channels, time]"
+                "expects [batch, channels, time] or the mono fast path "
+                "[batch, time] (a size-1 channel axis wastes 8x in TPU tile "
+                "padding — the pipeline strips it)"
             )
         sr = sample_rate or self.sample_rate
         k_mask, k_tfm = jax.random.split(key)
@@ -262,9 +269,10 @@ class ApplyImpulseResponse(BaseWaveformTransform):
         bank = ir_bank if ir_bank is not None else self.ir_bank
         if bank is None:
             raise ValueError("ApplyImpulseResponse requires an IRBank")
-        _, num_channels, num_samples = samples.shape
+        num_samples = samples.shape[-1]
         ir = bank.sample(key, samples.shape[0])  # (B, L)
-        convolved = fft_convolve(samples, ir[:, None, :], mode=self.convolve_mode)
+        ir_b = ir.reshape(ir.shape[0], *([1] * (samples.ndim - 2)), ir.shape[-1])
+        convolved = fft_convolve(samples, ir_b, mode=self.convolve_mode)
         # Peak-normalize over the *full* convolution tail, as the reference
         # does before truncation (impulse_response.py:86-91).
         peak = jnp.max(jnp.abs(convolved), axis=-1, keepdims=True)
@@ -273,8 +281,9 @@ class ApplyImpulseResponse(BaseWaveformTransform):
             delays = jnp.argmax(jnp.abs(ir), axis=-1)
 
             def shift(sig, d):
+                start = (0,) * (sig.ndim - 1) + (d,)
                 return jax.lax.dynamic_slice(
-                    sig, (0, d), (num_channels, num_samples)
+                    sig, start, sig.shape[:-1] + (num_samples,)
                 )
 
             return jax.vmap(shift)(convolved, delays)
@@ -313,7 +322,7 @@ class AddBackgroundNoise(BaseWaveformTransform):
         bank = noise_bank if noise_bank is not None else self.noise_bank
         if bank is None:
             raise ValueError("AddBackgroundNoise requires a NoiseBank")
-        batch, num_channels, num_samples = samples.shape
+        batch, num_samples = samples.shape[0], samples.shape[-1]
         k_noise, k_snr = jax.random.split(key)
         if self.mixup:
             background = bank.sample_pair(k_noise, batch, num_samples)
@@ -321,8 +330,10 @@ class AddBackgroundNoise(BaseWaveformTransform):
             background = bank.sample(k_noise, batch, num_samples)
         snr = _uniform(k_snr, batch, self.min_snr_in_db, self.max_snr_in_db)
         # background_noise.py:195-201
-        background_rms = calculate_rms(samples) / (10 ** (snr[:, None] / 20.0))
-        mixed = samples + background_rms[..., None] * background[:, None, :]
+        snr_b = snr.reshape(batch, *([1] * (samples.ndim - 2)))
+        background_rms = calculate_rms(samples) / (10 ** (snr_b / 20.0))
+        bg = background.reshape(batch, *([1] * (samples.ndim - 2)), num_samples)
+        mixed = samples + background_rms[..., None] * bg
         peak = jnp.max(jnp.abs(mixed), axis=-1, keepdims=True)
         return mixed / jnp.where(peak > 0, peak, 1.0)
 
@@ -352,15 +363,17 @@ class AddColoredNoise(BaseWaveformTransform):
         self.max_f_decay = float(max_f_decay)
 
     def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
-        batch, num_channels, num_samples = samples.shape
+        batch, num_samples = samples.shape[0], samples.shape[-1]
         k_noise, k_snr, k_decay = jax.random.split(key, 3)
         snr = _uniform(k_snr, batch, self.min_snr_in_db, self.max_snr_in_db)
         f_decay = _uniform(k_decay, batch, self.min_f_decay, self.max_f_decay)
         noise = batch_colored_noise(
             k_noise, f_decay, num_samples, self.sample_rate or sample_rate or 44100
         )
-        noise_rms = calculate_rms(samples) / (10 ** (snr[:, None] / 20.0))
-        mixed = samples + noise_rms[..., None] * noise[:, None, :]
+        snr_b = snr.reshape(batch, *([1] * (samples.ndim - 2)))
+        noise_rms = calculate_rms(samples) / (10 ** (snr_b / 20.0))
+        nz = noise.reshape(batch, *([1] * (samples.ndim - 2)), num_samples)
+        mixed = samples + noise_rms[..., None] * nz
         peak = jnp.max(jnp.abs(mixed), axis=-1, keepdims=True)
         return mixed / jnp.where(peak > 0, peak, 1.0)
 
@@ -388,7 +401,9 @@ class Gain(BaseWaveformTransform):
 
     def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
         gains_db = _uniform(key, samples.shape[0], self.min_gain_in_db, self.max_gain_in_db)
-        return samples * convert_decibels_to_amplitude_ratio(gains_db)[:, None, None]
+        return samples * _per_example(
+            convert_decibels_to_amplitude_ratio(gains_db), samples
+        )
 
 
 class Clipping(BaseWaveformTransform):
@@ -442,17 +457,37 @@ class Clipping(BaseWaveformTransform):
         batch = samples.shape[0]
         q = _uniform(key, batch, self.min_percentile_threshold, self.max_percentile_threshold)
         lower_q = q / 2.0
-        ch0 = samples[:, 0, :]
+        ch0 = samples[:, 0, :] if samples.ndim == 3 else samples
+        n = ch0.shape[-1]
+        # Exact selection: the quantile rank is bounded by
+        # max_percentile_threshold / 2, so top_k of K = rank_max + 2 elements
+        # from each tail replaces a full per-row sort (64k-point TPU sorts
+        # dominate the chain otherwise). Falls back to sort for large ranks.
+        k_sel = int(math.ceil(self.max_percentile_threshold / 2.0 * (n - 1))) + 2
         if self.batch_quantile:
             flat = jnp.sort(ch0.reshape(-1))
             flat_b = jnp.broadcast_to(flat, (batch, flat.shape[0]))
             lower = self._interp_quantile(flat_b, lower_q)
             upper = self._interp_quantile(flat_b, 1.0 - lower_q)
+        elif k_sel <= n // 8:
+            # smallest k_sel in ascending order / largest k_sel descending
+            bottom = -jax.lax.top_k(-ch0, k_sel)[0]
+            desc = jax.lax.top_k(ch0, k_sel)[0]
+            pos = lower_q * (n - 1)
+            lo_i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, k_sel - 2)
+            frac = pos - lo_i.astype(pos.dtype)
+            take = lambda v, i: jnp.take_along_axis(v, i[:, None], axis=-1)[:, 0]
+            lower = take(bottom, lo_i) * (1 - frac) + take(bottom, lo_i + 1) * frac
+            # quantile (1 - lower_q) mirrors through the descending view:
+            # srt[(n-1) - pos] interpolates desc[lo_i] .. desc[lo_i + 1]
+            upper = take(desc, lo_i) * (1 - frac) + take(desc, lo_i + 1) * frac
         else:
             srt = jnp.sort(ch0, axis=-1)
             lower = self._interp_quantile(srt, lower_q)
             upper = self._interp_quantile(srt, 1.0 - lower_q)
-        return jnp.clip(samples, lower[:, None, None], upper[:, None, None])
+        return jnp.clip(
+            samples, _per_example(lower, samples), _per_example(upper, samples)
+        )
 
 
 class PeakNormalization(BaseWaveformTransform):
@@ -463,7 +498,8 @@ class PeakNormalization(BaseWaveformTransform):
 
     def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
         # per-example extreme over channels *and* time (peak_normalization.py:42-45)
-        peak = jnp.max(jnp.abs(samples), axis=(-2, -1), keepdims=True)
+        axes = tuple(range(1, samples.ndim))
+        peak = jnp.max(jnp.abs(samples), axis=axes, keepdims=True)
         return jnp.where(peak > 0, samples / jnp.where(peak > 0, peak, 1.0), samples)
 
 

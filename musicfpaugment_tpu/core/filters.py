@@ -78,15 +78,19 @@ def lowpass_filter(
     half_size_max: int = DEFAULT_HALF_SIZE_MAX,
     zeros: float = DEFAULT_ZEROS,
 ) -> Array:
-    """Batched low-pass: ``samples`` (B, C, T), ``cutoffs`` (B,) fractions of sr.
+    """Batched low-pass: ``samples`` (B, T) or (B, C, T), ``cutoffs`` (B,)
+    fractions of sr.
 
     Matches ``julius.lowpass_filter(x, cutoff, fft=False)`` applied per
     example (ref: pass_filters.py:98-110) — one fused FFT conv instead of the
     reference's per-example loop.
     """
     kernels = lowpass_kernels(cutoffs, half_size_max, zeros)  # (B, 2H+1)
-    padded = _edge_pad(samples, half_size_max)  # (B, C, T + 2H)
-    return fft_convolve(padded, kernels[:, None, :], mode="valid")  # (B, C, T)
+    kernels = kernels.reshape(
+        kernels.shape[0], *([1] * (samples.ndim - 2)), kernels.shape[-1]
+    )
+    padded = _edge_pad(samples, half_size_max)  # (..., T + 2H)
+    return fft_convolve(padded, kernels, mode="valid")  # same shape as input
 
 
 def highpass_filter(
