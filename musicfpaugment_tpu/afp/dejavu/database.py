@@ -167,6 +167,23 @@ class SQLDatabase(BaseDatabase):
                         results.append((sid, offset - song_sampled_offset))
         return results, dedup_hashes
 
+    def get_iterable_kv_pairs(self):
+        """All stored fingerprints (ref: postgres_database.py:150-158)."""
+        with self.cursor() as cur:
+            cur.execute(self.SELECT_MULTIPLE.replace("WHERE hash IN (%s)", ""))
+            return list(cur.fetchall())
+
+    def delete_songs_by_id(self, song_ids, batch_size: int = 1000) -> None:
+        """Delete songs + their fingerprints (ref: postgres_database.py:231-245)."""
+        with self.cursor() as cur:
+            for index in range(0, len(song_ids), batch_size):
+                chunk = song_ids[index : index + batch_size]
+                marks = ", ".join([self.IN_MATCH] * len(chunk))
+                cur.execute(
+                    f"DELETE FROM fingerprints WHERE song_id IN ({marks});", chunk
+                )
+                cur.execute(f"DELETE FROM songs WHERE song_id IN ({marks});", chunk)
+
     # dialect hooks
     def cursor(self):  # pragma: no cover - abstract
         raise NotImplementedError

@@ -1,0 +1,59 @@
+"""Tracing/profiling helpers (SURVEY.md §5: the reference has only wall-clock
+prints — the rebuild gets jax.profiler traces + stage timers)."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Iterator, Optional
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str) -> Iterator[None]:
+    """Named region inside a captured trace."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+class StageTimer:
+    """Per-stage wall-clock accounting, the structured version of the
+    reference's fingerprint/query/align timing fields
+    (ref: afp/dejavu/file_recognizer.py:17-34)."""
+
+    def __init__(self) -> None:
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {
+            k: {
+                "total_s": self.totals[k],
+                "count": self.counts[k],
+                "mean_ms": 1000.0 * self.totals[k] / self.counts[k],
+            }
+            for k in self.totals
+        }
