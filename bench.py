@@ -46,8 +46,7 @@ def bench_augment(batch_size: int = 256, seconds: int = 8, sr: int = 8000):
     # Synchronization note: through the remote-TPU tunnel in this image,
     # block_until_ready() does NOT reliably wait for execution — a scalar
     # host readback of the final result is the only trustworthy barrier.
-    # Fixed sync overhead is measured with iters=0-equivalent and subtracted
-    # is unnecessary at 32 iterations (<5%).
+    # At 32 iterations the fixed sync overhead is <5% of the total.
     _ = float(jnp.sum(wavs))  # force upload
     t0 = time.perf_counter()
     _ = float(fp.batch_augment(wavs, key=key)[0, 0, 0])

@@ -85,6 +85,64 @@ def compute_accuracy(
     }
 
 
+def compute_accuracy_batched(
+    files: List[str],
+    dbpath,
+    analyzer1: AudfprintPeaks,
+    analyzer2: Optional[AudfprintPeaks] = None,
+    batch_size: int = 64,
+    shifts: int = 4,
+) -> Dict[str, float]:
+    """Batched counterpart of :func:`compute_accuracy`: query waveforms are
+    stacked and peak extraction for the whole batch (x shifts) runs as one
+    XLA program per shift; matching stays in vectorized numpy. Same accuracy
+    definition and mix rule as the reference (audfprint_exps.py:31-83)."""
+    hash_tab = dbpath if isinstance(dbpath, HashTable) else HashTable(dbpath)
+    matcher = Matcher()
+    analyzers = [analyzer1] + ([analyzer2] if analyzer2 is not None else [])
+    correct = [0 for _ in analyzers]
+    acc_mix = 0
+    n = 0
+    for start in range(0, len(files), batch_size):
+        chunk = files[start : start + batch_size]
+        wavs, gts = [], []
+        for f in chunk:
+            try:
+                wavs.append(analyzer1._load(f))
+                gts.append(str(f).split("/")[-1].split(".")[0])
+            except Exception:
+                print("error with ", f)
+        if not wavs:
+            continue
+        tmin = min(w.shape[0] for w in wavs)
+        batch = np.stack([w[:tmin] for w in wavs])
+        per_analyzer = []
+        for a in analyzers:
+            hashes_list = a.hashes_batch(batch, shifts=shifts)
+            msgs = [
+                matcher.hashes_match_to_msgs(hash_tab, qh) for qh in hashes_list
+            ]
+            per_analyzer.append(msgs)
+        for qi, gt in enumerate(gts):
+            n += 1
+            preds = []
+            for ai, msgs in enumerate(per_analyzer):
+                status, name, aligned = msgs[qi]
+                pred = name.split("/")[-1].split(".")[0]
+                preds.append((status, pred, aligned))
+                if status == "MATCH" and pred == gt:
+                    correct[ai] += 1
+            if len(preds) == 2:
+                best = preds[0] if preds[0][2] >= preds[1][2] else preds[1]
+                if best[0] == "MATCH" and best[1] == gt:
+                    acc_mix += 1
+    out = {"No Denoising": correct[0] / max(n, 1)}
+    if analyzer2 is not None:
+        out["With Denoising"] = correct[1] / max(n, 1)
+        out["Mix Pipeline"] = acc_mix / max(n, 1)
+    return out
+
+
 def compute_peaks_metrics(
     queries_augmented: List[str],
     analyzer_no_den: AudfprintPeaks,

@@ -239,3 +239,34 @@ def test_dejavu_experiment_flow(tmp_path, rng):
     acc = compute_accuracy(queries, djv, djv_den)
     assert acc["No Denoising"] >= 0.4
     assert set(acc) == {"No Denoising", "With Denoising", "Mix Pipeline"}
+
+
+@pytest.mark.slow
+def test_audfprint_batched_accuracy_matches_sequential(tmp_path, rng):
+    """compute_accuracy_batched must agree with the per-file path."""
+    from musicfpaugment_tpu.afp.audfprint import AudfprintPeaks, HashTable
+    from musicfpaugment_tpu.testing.audfprint_exps import (
+        compute_accuracy,
+        compute_accuracy_batched,
+    )
+    from musicfpaugment_tpu.testing.generate_queries import generate_clean_queries
+    from musicfpaugment_tpu.testing.parameters import afp_settings
+
+    tracks = _write_wav_tracks(tmp_path / "tracks", rng, n=5)
+    cleans = tmp_path / "cleans"
+    generate_clean_queries(tracks, str(cleans), duration=2, save=True)
+
+    analyzer = AudfprintPeaks(afp_settings["audfprint"])
+    ht = HashTable()
+    for p in tracks:
+        analyzer.ingest(ht, p)
+    queries = [str(cleans / q) for q in sorted(os.listdir(cleans))]
+    a1 = AudfprintPeaks(afp_settings["audfprint"])
+    a1.shifts = 4
+    a2 = AudfprintPeaks(afp_settings["audfprint"])
+    a2.shifts = 4
+    seq = compute_accuracy(queries, ht, a1, a2)
+    bat = compute_accuracy_batched(queries, ht, a1, a2, batch_size=3)
+    assert bat["No Denoising"] == pytest.approx(seq["No Denoising"])
+    assert bat["Mix Pipeline"] == pytest.approx(seq["Mix Pipeline"])
+    assert bat["No Denoising"] >= 0.8  # clean crops identify trivially
