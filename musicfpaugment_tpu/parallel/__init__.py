@@ -1,5 +1,6 @@
-"""Parallelism layer: mesh construction and sharding placement."""
+"""Parallelism layer: mesh construction, sharding placement, sharded ops."""
 
+from musicfpaugment_tpu.parallel.augment_sharded import ShardedAugmenter
 from musicfpaugment_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
@@ -10,6 +11,7 @@ from musicfpaugment_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "ShardedAugmenter",
     "DATA_AXIS",
     "batch_sharding",
     "make_mesh",

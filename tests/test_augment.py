@@ -275,3 +275,24 @@ def test_compose_someof_oneof(banks):
     some = augment.SomeOf((1, 2), tfms)
     y = some(jax.random.PRNGKey(17), x, SR)
     assert y.shape == x.shape
+
+
+def test_sharded_augmenter_matches_single_device(banks):
+    """8-device mesh output must equal the single-device chain bit-for-bit
+    (same key, same program — only the layout differs)."""
+    import jax
+    from musicfpaugment_tpu.parallel.augment_sharded import ShardedAugmenter
+    from musicfpaugment_tpu.parallel import make_mesh
+
+    noise_bank, ir_bank = banks
+    fp = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    wavs = jnp.asarray(_music(batch=8, seconds=1))
+    key = jax.random.PRNGKey(21)
+    single = np.asarray(fp.batch_augment(wavs, key=key))
+
+    sharded = ShardedAugmenter(fp, mesh=make_mesh(8))
+    out = np.asarray(sharded.batch_augment(wavs, key=key))
+    np.testing.assert_allclose(out, single, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        sharded.batch_augment(wavs[:3], key=key)
