@@ -205,16 +205,30 @@ def find_peaks_batch(
     f_sd: float = 30.0,
     maxpksperframe: int = 5,
     denoiser: Optional[Callable[[Array], Array]] = None,
+    use_pallas: bool = False,
 ) -> Array:
     """Full peak extraction for a batch of waveforms (batch, time).
 
     Returns boolean peak mask (batch, n_fft//2, frames) — the Nyquist row is
     dropped like the reference (peak_extractor.py:286-290). The decay
     constant matches peak_extractor.py:295.
+
+    ``use_pallas`` switches the pruning passes to the fused Pallas kernels
+    (peaks_pallas.py) — VMEM-resident threshold envelope, one-hot-matmul
+    Gaussian lookups on the MXU; agreement with the scan path is ~1 cell per
+    300k (float associativity), so the exact scan path stays the default.
     """
     sgram = spectrogram_frontend(waveforms, n_fft, n_hop, denoiser)
     logsg = log_hpf_frontend(sgram)
     a_dec = float(1 - 0.01 * (density * np.sqrt(n_hop / 352.8) / 35))
+    if use_pallas:
+        from musicfpaugment_tpu.afp.audfprint.peaks_pallas import (
+            backward_prune_pallas,
+            forward_prune_pallas,
+        )
+
+        peaks = forward_prune_pallas(logsg, a_dec, f_sd, maxpksperframe)
+        return backward_prune_pallas(logsg, peaks, a_dec, f_sd, maxpksperframe)
     peaks = forward_prune(logsg, a_dec, f_sd, maxpksperframe)
     return backward_prune(logsg, peaks, a_dec, f_sd, maxpksperframe)
 

@@ -331,3 +331,37 @@ def test_analyzer_find_peaks_shapes():
 
     counts = collections.Counter(cols)
     assert max(counts.values()) <= 5
+
+
+# ----------------------------------------------------- pallas kernels
+
+def test_pallas_prune_matches_scan(rng):
+    """The fused Pallas kernels must agree with the scan implementation
+    (interpret mode on CPU; compiled agreement is checked on TPU)."""
+    from scipy.ndimage import gaussian_filter
+
+    from musicfpaugment_tpu.afp.audfprint.peaks import (
+        backward_prune,
+        forward_prune,
+    )
+    from musicfpaugment_tpu.afp.audfprint.peaks_pallas import (
+        backward_prune_pallas,
+        forward_prune_pallas,
+    )
+
+    a_dec = float(1 - 0.01 * (20 * np.sqrt(256 / 352.8) / 35))
+    r = np.random.default_rng(3)
+    x = gaussian_filter(
+        r.standard_normal((4, 128, 60)), sigma=(0, 2.0, 1.5)
+    ).astype(np.float32) * 3
+    xj = jnp.asarray(x - x.mean(axis=(1, 2), keepdims=True))
+
+    ref_f = np.asarray(forward_prune(xj, a_dec, 30.0, 5))
+    pal_f = np.asarray(forward_prune_pallas(xj, a_dec, 30.0, 5, interpret=True))
+    assert (ref_f == pal_f).mean() > 0.9999
+
+    ref_b = np.asarray(backward_prune(xj, jnp.asarray(ref_f), a_dec, 30.0, 5))
+    pal_b = np.asarray(
+        backward_prune_pallas(xj, jnp.asarray(ref_f), a_dec, 30.0, 5, interpret=True)
+    )
+    assert (ref_b == pal_b).mean() > 0.9999
