@@ -168,14 +168,14 @@ def test_lowpass_attenuation(rng):
 def test_highpass_is_complement(rng):
     x = rng.standard_normal((2, 1, 1000)).astype(np.float32)
     c = jnp.asarray([0.1, 0.3])
-    lp = np.asarray(core.lowpass_filter(jnp.asarray(x), c))
-    hp = np.asarray(core.highpass_filter(jnp.asarray(x), c))
+    lp = np.asarray(core.lowpass_filter(jnp.asarray(x), c, half_size_max=256))
+    hp = np.asarray(core.highpass_filter(jnp.asarray(x), c, half_size_max=256))
     np.testing.assert_allclose(lp + hp, x, rtol=1e-4, atol=1e-5)
 
 
 def test_lowpass_zero_cutoff_gives_zero(rng):
     x = rng.standard_normal((1, 1, 256)).astype(np.float32)
-    y = np.asarray(core.lowpass_filter(jnp.asarray(x), jnp.asarray([0.0])))
+    y = np.asarray(core.lowpass_filter(jnp.asarray(x), jnp.asarray([0.0]), half_size_max=128))
     np.testing.assert_allclose(y, 0.0, atol=1e-7)
 
 
@@ -183,8 +183,8 @@ def test_bandstop_is_complement_of_bandpass(rng):
     x = rng.standard_normal((2, 1, 512)).astype(np.float32)
     lo = jnp.asarray([0.05, 0.1])
     hi = jnp.asarray([0.2, 0.3])
-    bp = np.asarray(core.bandpass_filter(jnp.asarray(x), lo, hi))
-    bs = np.asarray(core.bandstop_filter(jnp.asarray(x), lo, hi))
+    bp = np.asarray(core.bandpass_filter(jnp.asarray(x), lo, hi, half_size_max=256))
+    bs = np.asarray(core.bandstop_filter(jnp.asarray(x), lo, hi, half_size_max=256))
     np.testing.assert_allclose(bp + bs, x, rtol=1e-4, atol=1e-5)
 
 

@@ -9,7 +9,7 @@ from musicfpaugment_tpu.models import Demucs, UNet, rescale_params
 
 
 def test_unet_shapes():
-    model = UNet(1, 1, rate=0.05)
+    model = UNet(1, 1, rate=0.05, base=16)
     x = jnp.zeros((2, 257, 94))  # 3 s @ 8 kHz spectrogram, n_fft 512 hop 256
     variables = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(variables, x)
@@ -19,7 +19,7 @@ def test_unet_shapes():
 def test_unet_channel_plan():
     """Verify the 64->1024 channel plan of ref training/unet.py:77-95."""
     model = UNet(1, 1)
-    x = jnp.zeros((1, 64, 64))
+    x = jnp.zeros((1, 16, 16))
     variables = model.init(jax.random.PRNGKey(0), x)
     params = variables["params"]
     # inc first conv -> 64 channels; deepest Down -> 1024
@@ -30,7 +30,7 @@ def test_unet_channel_plan():
 
 
 def test_unet_train_mode_runs():
-    model = UNet(1, 1, rate=0.05)
+    model = UNet(1, 1, rate=0.05, base=8)
     x = jnp.zeros((2, 128, 64))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     y, mutated = model.apply(
@@ -47,7 +47,7 @@ def test_unet_train_mode_runs():
 def test_unet_odd_sizes():
     """Odd spectrogram dims must survive the maxpool/pad-fix path
     (ref: unet.py:59-62)."""
-    model = UNet(1, 1)
+    model = UNet(1, 1, base=8)
     x = jnp.zeros((1, 257, 251))
     variables = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(variables, x)

@@ -111,7 +111,7 @@ def _make_trainer(tmp_path, model, input_type, save=False, steps=2, batch=8):
 def test_trainer_unet_loss_decreases(tmp_path):
     trainer = _make_trainer(tmp_path, UNet(1, 1, rate=0.05, base=8), "spec")
     first = trainer.train_epoch(1)
-    for _ in range(4):
+    for _ in range(3):
         last = trainer.train_epoch(1)
     assert np.isfinite(first["loss"]) and np.isfinite(last["loss"])
     assert last["loss"] < first["loss"]
