@@ -99,8 +99,75 @@ def bench_peaks(batch_size: int = 64, seconds: int = 8, sr: int = 8000):
     return qps
 
 
+def bench_train_step(model_name: str = "unet", batch_size: int = 128, sr: int = 8000):
+    """Full training-step rate at the reference config (batch 128 x 3 s,
+    training/parameters.py:15-28) including on-device augmentation."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu import augment
+    from musicfpaugment_tpu.data.synthetic import synthetic_clean_batches
+    from musicfpaugment_tpu.models import Demucs, UNet
+    from musicfpaugment_tpu.train.trainer import Trainer
+
+    import tempfile
+
+    n = 3 * sr
+    noise_bank, ir_bank = augment.synthetic_banks(
+        sample_rate=sr, noise_row_length=n, num_noise=16, num_irs=8
+    )
+    augmenter = augment.AugmentFP(noise_bank, sr, impulse_response_dir=ir_bank)
+    if model_name == "unet":
+        model = UNet(1, 1, rate=0.05)
+        input_type = "spec"
+    else:
+        model = Demucs()
+        input_type = "audio"
+    clean = next(synthetic_clean_batches(batch_size, n, sr))
+    clean_j = jnp.asarray(clean)
+    _ = float(jnp.sum(clean_j))
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(
+            model=model,
+            train_iter=iter(lambda: clean, None),
+            train_steps=1,
+            val_iter=iter(lambda: clean, None),
+            val_steps=1,
+            learning_rate=1e-3,
+            nb_epochs=1,
+            checkpoint=tmp,
+            input_type=input_type,
+            augmenter=augmenter,
+            example_batch=clean,
+        )
+        t0 = time.perf_counter()
+        state, _ = trainer._train_step(
+            trainer.state, clean_j, None, jax.random.PRNGKey(0), jnp.float32(1.0)
+        )
+        _ = float(jax.tree_util.tree_leaves(state.params)[0].ravel()[0])
+        log(f"{model_name} train step compile: {time.perf_counter() - t0:.1f}s")
+        iters = 16
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, _ = trainer._train_step(
+                state, clean_j, None, jax.random.PRNGKey(i), jnp.float32(1.0)
+            )
+        _ = float(jax.tree_util.tree_leaves(state.params)[0].ravel()[0])
+        dt = (time.perf_counter() - t0) / iters
+    log(
+        f"{model_name} train: {1.0/dt:.2f} steps/s "
+        f"({dt*1000:.0f} ms/step, batch {batch_size} x 3s, incl. on-device augment)"
+    )
+    return 1.0 / dt
+
+
 def main() -> None:
     clips_per_sec = bench_augment()
+    for model_name in ("unet", "demucs"):
+        try:
+            bench_train_step(model_name)
+        except Exception as e:
+            log(f"{model_name} train bench skipped: {e}")
     try:
         bench_peaks()
     except Exception as e:  # secondary metric must not break the headline

@@ -214,6 +214,37 @@ class Dejavu:
 
     # ------------------------------------------------------------ query
 
+    def fingerprint_batch(
+        self, waveforms: np.ndarray, scaled: bool = False
+    ) -> List[List[Tuple[str, int]]]:
+        """Batched query fingerprinting: the spectrogram frontend + peak
+        detection for the whole (B, T) batch run as one XLA program; SHA1
+        hashing stays host-side. ``scaled`` marks inputs already in the
+        int16-scaled domain (``read()`` output)."""
+        wavs = np.asarray(waveforms, np.float32)
+        if not scaled:
+            wavs = wavs * 32767.0
+        hook = (
+            self.spec_denoiser
+            if (self.denoising and self.denoising_model == "unet")
+            else None
+        )
+        _, masks, _ = fingerprint_spectrogram_batch(
+            wavs,
+            self.settings["samplerate"],
+            self.settings["n_fft"],
+            self.settings["n_hop"],
+            self.settings["amp_min"],
+            denoiser=hook,
+        )
+        masks = np.asarray(masks)
+        return [
+            generate_hashes(
+                peaks_from_mask(m), fan_value=self.settings["fan_value"]
+            )
+            for m in masks
+        ]
+
     def generate_fingerprints(
         self, samples, get_masks: bool = False
     ) -> Tuple[List[Tuple[str, int]], float]:

@@ -35,11 +35,16 @@ class ShardedAugmenter:
         self.mesh = mesh if mesh is not None else make_mesh()
         rep = replicated(self.mesh)
         dsh = batch_sharding(self.mesh)
-        self._jitted = jax.jit(
-            augmenter._chain,
-            in_shardings=(rep, dsh, rep, rep),
-            out_shardings=dsh,
-        )
+        if self.mesh.devices.size > 1:
+            self._jitted = jax.jit(
+                augmenter._chain,
+                in_shardings=(rep, dsh, rep, rep),
+                out_shardings=dsh,
+            )
+        else:
+            # sharding-annotated executables are pathologically slow through
+            # the single-chip tunnel; plain jit is identical on one device
+            self._jitted = jax.jit(augmenter._chain)
         # place the banks once
         self._noise_bank = jax.device_put(augmenter.noise_bank, rep)
         self._ir_bank = jax.device_put(augmenter.ir_bank, rep)

@@ -170,3 +170,13 @@ def test_dejavu_end_to_end_identification():
     assert correct >= n_queries - 1, f"identified {correct}/{n_queries}"
     # timing fields present (ref file_recognizer.py:17-34)
     assert {"fingerprint_time", "query_time", "align_time"} <= set(result)
+
+
+def test_fingerprint_batch_matches_single(rng):
+    """Batched query fingerprints must equal the single-channel path."""
+    djv = Dejavu({"database": {"database": ":memory:"}}, state="set")
+    wavs = (rng.standard_normal((3, 16000)) * 0.5).astype(np.float32)
+    batched = djv.fingerprint_batch(wavs)
+    for i in range(3):
+        single = fingerprint(wavs[i] * 32767.0, Fs=8000)
+        assert sorted(batched[i]) == sorted(single)
