@@ -11,7 +11,7 @@ internally.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,15 +25,24 @@ class DoubleConv(nn.Module):
 
     out_channels: int
     mid_channels: Optional[int] = None
+    dtype: Optional[Any] = None  # compute dtype (bf16 mixed precision); params stay f32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         mid = self.mid_channels or self.out_channels
-        x = nn.Conv(mid, (3, 3), padding=1, use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.Conv(mid, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.Conv(
+            self.out_channels, (3, 3), padding=1, use_bias=False, dtype=self.dtype
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
         return nn.relu(x)
 
 
@@ -41,11 +50,12 @@ class Down(nn.Module):
     """max-pool 2x2 then DoubleConv (ref: unet.py:28-38)."""
 
     out_channels: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return DoubleConv(self.out_channels)(x, train=train)
+        return DoubleConv(self.out_channels, dtype=self.dtype)(x, train=train)
 
 
 class Up(nn.Module):
@@ -53,6 +63,7 @@ class Up(nn.Module):
 
     out_channels: int
     bilinear: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x1: Array, x2: Array, train: bool = False) -> Array:
@@ -62,7 +73,8 @@ class Up(nn.Module):
             x1 = jax.image.resize(x1, (b, 2 * h, 2 * w, c), method="bilinear")
         else:
             x1 = nn.ConvTranspose(
-                in_channels // 2, (2, 2), strides=(2, 2), padding="VALID"
+                in_channels // 2, (2, 2), strides=(2, 2), padding="VALID",
+                dtype=self.dtype,
             )(x1)
         # pad x1 to x2's spatial size (odd-dimension fix, unet.py:59-62)
         diff_h = x2.shape[1] - x1.shape[1]
@@ -78,7 +90,9 @@ class Up(nn.Module):
         )
         x = jnp.concatenate([x2, x1], axis=-1)
         mid = in_channels // 2 if self.bilinear else None
-        return DoubleConv(self.out_channels, mid_channels=mid)(x, train=train)
+        return DoubleConv(self.out_channels, mid_channels=mid, dtype=self.dtype)(
+            x, train=train
+        )
 
 
 class UNet(nn.Module):
@@ -90,6 +104,7 @@ class UNet(nn.Module):
     rate: float = 0.0
     bilinear: bool = False
     base: int = 64  # width scale; 64 = the reference channel plan
+    dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for mixed precision
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -100,17 +115,20 @@ class UNet(nn.Module):
         dropout = lambda h: nn.Dropout(self.rate, deterministic=not train)(h)
         factor = 2 if self.bilinear else 1
         b = self.base
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
 
-        x1 = DoubleConv(b)(x, train=train)
-        x2 = dropout(Down(2 * b)(x1, train=train))
-        x3 = dropout(Down(4 * b)(x2, train=train))
-        x4 = dropout(Down(8 * b)(x3, train=train))
-        x5 = dropout(Down(16 * b // factor)(x4, train=train))
-        h = dropout(Up(8 * b // factor, self.bilinear)(x5, x4, train=train))
-        h = Up(4 * b // factor, self.bilinear)(h, x3, train=train)
-        h = Up(2 * b // factor, self.bilinear)(h, x2, train=train)
-        h = Up(b, self.bilinear)(h, x1, train=train)
-        logits = nn.Conv(self.n_classes, (1, 1))(h)
+        x1 = DoubleConv(b, dtype=dt)(x, train=train)
+        x2 = dropout(Down(2 * b, dtype=dt)(x1, train=train))
+        x3 = dropout(Down(4 * b, dtype=dt)(x2, train=train))
+        x4 = dropout(Down(8 * b, dtype=dt)(x3, train=train))
+        x5 = dropout(Down(16 * b // factor, dtype=dt)(x4, train=train))
+        h = dropout(Up(8 * b // factor, self.bilinear, dtype=dt)(x5, x4, train=train))
+        h = Up(4 * b // factor, self.bilinear, dtype=dt)(h, x3, train=train)
+        h = Up(2 * b // factor, self.bilinear, dtype=dt)(h, x2, train=train)
+        h = Up(b, self.bilinear, dtype=dt)(h, x1, train=train)
+        logits = nn.Conv(self.n_classes, (1, 1))(h.astype(jnp.float32))
         if squeeze_channel and self.n_classes == 1:
             logits = logits[..., 0]
         return logits

@@ -122,3 +122,15 @@ def test_demucs_normalization_invariance():
     # floor=1e-3 makes the invariance approximate, not exact
     scale = np.abs(100.0 * y1).max()
     np.testing.assert_allclose(y2, 100.0 * y1, atol=0.01 * scale)
+
+
+def test_unet_bf16_mixed_precision():
+    """dtype=bfloat16 computes in bf16 but keeps f32 params and f32 output."""
+    model = UNet(1, 1, rate=0.0, base=8, dtype=jnp.bfloat16)
+    x = jnp.ones((1, 64, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    leaf = jax.tree_util.tree_leaves(variables["params"])[0]
+    assert leaf.dtype == jnp.float32
+    y = model.apply(variables, x)
+    assert y.dtype == jnp.float32
+    assert bool(jnp.isfinite(y).all())
