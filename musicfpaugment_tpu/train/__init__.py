@@ -1,5 +1,10 @@
 """Training stack: losses, data-parallel trainer, CLI."""
 
+from musicfpaugment_tpu.train.cqt import (
+    cqt_loss,
+    cqt_magnitude,
+    multi_resolution_cqt_loss,
+)
 from musicfpaugment_tpu.train.losses import (
     l1_loss,
     log_stft_magnitude_loss,
@@ -18,6 +23,9 @@ from musicfpaugment_tpu.train.trainer import (
 )
 
 __all__ = [
+    "cqt_loss",
+    "cqt_magnitude",
+    "multi_resolution_cqt_loss",
     "l1_loss",
     "log_stft_magnitude_loss",
     "multi_resolution_stft_loss",

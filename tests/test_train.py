@@ -159,3 +159,32 @@ def test_data_parallel_matches_single_device(tmp_path):
     l8 = t8.train_epoch(1)["loss"]
     l1_ = t1.train_epoch(1)["loss"]
     np.testing.assert_allclose(l8, l1_, rtol=1e-4)
+
+
+# ------------------------------------------------------------ cqt
+
+def test_cqt_tone_peak_bin():
+    """A pure tone must peak at the log-frequency bin ~bpo*log2(f/fmin)."""
+    from musicfpaugment_tpu.train.cqt import cqt_magnitude
+
+    sr, f_min, bpo = 8000, 32.70, 24
+    t = np.arange(2 * sr) / sr
+    for f in [110.0, 440.0, 1760.0]:
+        x = jnp.asarray(np.sin(2 * np.pi * f * t).astype(np.float32))[None]
+        mag = np.asarray(cqt_magnitude(x, sr, f_min, 3999.0, bpo, hop_length=512))
+        mean_spec = mag[0].mean(axis=-1)
+        want_bin = bpo * np.log2(f / f_min)
+        assert abs(int(np.argmax(mean_spec)) - want_bin) <= 1.5, f
+    assert mag.shape[1] == int(np.ceil(bpo * np.log2(3999.0 / f_min)))
+
+
+def test_multi_resolution_cqt_loss_orders_similarity(rng):
+    from musicfpaugment_tpu.train.cqt import multi_resolution_cqt_loss
+
+    clean = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32))
+    near = clean + 0.1 * jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32))
+    far = clean + 1.0 * jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32))
+    sc1, mag1 = multi_resolution_cqt_loss(near, clean, hop_sizes=(512, 256, 128))
+    sc2, mag2 = multi_resolution_cqt_loss(far, clean, hop_sizes=(512, 256, 128))
+    assert float(sc1 + mag1) < float(sc2 + mag2)
+    assert float(sc1) >= 0 and np.isfinite(float(mag1))
