@@ -77,13 +77,22 @@ def main() -> None:
     parser.add_argument("--val-steps", type=int, default=P.VAL_STEPS)
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--monitoring", action="store_true")
+    parser.add_argument("--base", type=int, default=64,
+                        help="UNet width scale (64 = reference plan)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 mixed-precision compute (f32 params)")
     args = parser.parse_args()
 
     fix_random_seeds()
 
     if args.model == "unet":
+        import jax.numpy as jnp
+
         learning_rate = 1e-3
-        model = UNet(1, 1, rate=0.05)
+        model = UNet(
+            1, 1, rate=0.05, base=args.base,
+            dtype=jnp.bfloat16 if args.bf16 else None,
+        )
         input_type = "spec"
     else:
         learning_rate = 5e-4

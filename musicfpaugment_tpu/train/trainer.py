@@ -202,6 +202,16 @@ class Trainer:
 
         if example_batch is None:
             raise ValueError("example_batch (clean waveforms (B, T)) is required")
+        if example_batch.shape[0] % self.mesh.devices.size != 0:
+            # shrink the data mesh so the batch divides it evenly
+            usable = self.mesh.devices.size
+            while example_batch.shape[0] % usable != 0:
+                usable -= 1
+            print(
+                f"INFO: batch {example_batch.shape[0]} not divisible by "
+                f"{self.mesh.devices.size} devices — using a {usable}-device mesh"
+            )
+            self.mesh = make_mesh(usable)
         self.state = self._init_state(jnp.asarray(example_batch))
         self._compile_steps()
         self._maybe_resume()

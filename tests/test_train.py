@@ -188,3 +188,17 @@ def test_multi_resolution_cqt_loss_orders_similarity(rng):
     sc2, mag2 = multi_resolution_cqt_loss(far, clean, hop_sizes=(512, 256, 128))
     assert float(sc1 + mag1) < float(sc2 + mag2)
     assert float(sc1) >= 0 and np.isfinite(float(mag1))
+
+
+def test_train_cli_smoke(tmp_path, monkeypatch):
+    """The training CLI runs end-to-end on synthetic data."""
+    import sys
+
+    from musicfpaugment_tpu.train.train import main as train_main
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train", "--model", "unet", "--epochs", "2", "--batch-size", "4",
+         "--train-steps", "1", "--val-steps", "1", "--base", "8"],
+    )
+    train_main()
