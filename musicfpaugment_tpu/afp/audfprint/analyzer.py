@@ -135,6 +135,32 @@ class AudfprintPeaks:
 
     # ------------------------------------------------------------ parity API
 
+    def spreadpeaks(self, peaks, npoints=None, width: float = 4.0, base=None):
+        """Max of Gaussian bumps at (index, value) peaks
+        (ref: peak_extractor.py:127-171)."""
+        if base is None and npoints is not None:
+            vec = np.zeros(npoints, dtype=np.float32)
+        elif base is not None:
+            npoints = len(base)
+            vec = np.copy(base)
+        else:
+            raise ValueError("Please provide arguments npoints or base!")
+        idx = np.arange(npoints)
+        for pos, val in peaks:
+            vec = np.maximum(
+                vec, val * np.exp(-0.5 * ((idx - pos) / width) ** 2)
+            )
+        return vec
+
+    def spreadpeaksinvector(self, vector, width: float = 4.0):
+        """ref: peak_extractor.py:115-125."""
+        npts = len(vector)
+        peaks = locmax(vector, indices=True)
+        return self.spreadpeaks(
+            [(p, v) for p, v in zip(peaks, vector[peaks])],
+            npoints=npts, width=width,
+        )
+
     def find_peaks(self, d: np.ndarray):
         """Single-waveform peak extraction; returns (pklist, peaks_mask, spec)
         like the reference (peak_extractor.py:236-311)."""
@@ -245,6 +271,17 @@ class AudfprintPeaks:
             hashtable.store(name, hashes)
             total += len(hashes)
         return total
+
+
+def locmax(vec: np.ndarray, indices: bool = False):
+    """Local maxima with end-point semantics (ref: peak_extractor.py:61-73)."""
+    nbr = np.zeros(len(vec) + 1, dtype=bool)
+    nbr[0] = True
+    nbr[1:-1] = np.greater_equal(vec[1:], vec[:-1])
+    maxmask = nbr[:-1] & ~nbr[1:]
+    if indices:
+        return np.nonzero(maxmask)[0]
+    return maxmask
 
 
 # Backwards-compatible alias matching the reference class name

@@ -138,6 +138,18 @@ def fingerprint_spectrogram_batch(
     return logd, mask, specgram
 
 
+def get_2D_peaks(
+    arr2D,
+    plot: bool = False,
+    amp_min: float = 50,
+) -> Tuple[List[Tuple[int, int]], np.ndarray]:
+    """Single-spectrogram peak extraction, reference signature
+    (ref: fingerprint.py:94-171): returns ([(freq, time), ...], mask)."""
+    arr = jnp.asarray(np.asarray(arr2D, np.float32))
+    mask = np.asarray(detect_peaks_mask(arr, amp_min=amp_min))
+    return peaks_from_mask(mask), mask.astype(np.float64)
+
+
 def peaks_from_mask(mask: np.ndarray) -> List[Tuple[int, int]]:
     """(F, C) mask -> [(freq, time), ...] in np.where order
     (ref: fingerprint.py:140-152)."""

@@ -15,6 +15,24 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+class ObjectDict(dict):
+    """Attribute-style dict (ref: augmentation/utils.py:54-80)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+
+def is_multichannel(samples: Array) -> bool:
+    """ref: augmentation/utils.py:19-20."""
+    return samples.shape[1] > 1
+
+
 def calculate_rms(samples: Array) -> Array:
     """Root-mean-square over the trailing axis (ref: augmentation/utils.py:23-29)."""
     return jnp.sqrt(jnp.mean(jnp.square(samples), axis=-1))
