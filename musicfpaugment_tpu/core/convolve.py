@@ -15,6 +15,8 @@ size >= m + n - 1 yields the identical linear convolution after truncation.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +25,24 @@ Array = jnp.ndarray
 
 def next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
+
+
+def _mxu_fft_enabled() -> bool:
+    """Route spectral products through the matmul (MXU) DFT instead of
+    XLA's vector-unit FFT. Off by default; enable with MFPA_MXU_FFT=1."""
+    return os.environ.get("MFPA_MXU_FFT", "0") == "1"
+
+
+def _spectral_conv(signal: Array, kernel: Array, fft_size: int) -> Array:
+    """Circular convolution at ``fft_size`` on the trailing axis (inputs are
+    zero-padded up to fft_size; shorter inputs => linear convolution)."""
+    if _mxu_fft_enabled():
+        from musicfpaugment_tpu.core.mxu_fft import mxu_fft_convolve_full
+
+        return mxu_fft_convolve_full(signal, kernel, fft_size)
+    f_signal = jnp.fft.rfft(signal, n=fft_size)
+    f_kernel = jnp.fft.rfft(kernel, n=fft_size)
+    return jnp.fft.irfft(f_signal * f_kernel, n=fft_size)
 
 
 def _os_chunk_size(m: int, n: int) -> int:
@@ -69,9 +89,7 @@ def _fft_convolve_os(signal: Array, kernel: Array, chunk: int) -> Array:
         np.arange(n_chunks)[:, None] * useful + np.arange(chunk)[None, :]
     )
     frames = xp[..., idx]  # (..., n_chunks, chunk)
-    f_sig = jnp.fft.rfft(frames, n=chunk)
-    f_ker = jnp.fft.rfft(kernel, n=chunk)[..., None, :]
-    seg = jnp.fft.irfft(f_sig * f_ker, n=chunk)[..., n - 1 :]
+    seg = _spectral_conv(frames, kernel[..., None, :], chunk)[..., n - 1 :]
     out = seg.reshape(*seg.shape[:-2], n_chunks * useful)
     return out[..., :out_len]
 
@@ -106,9 +124,7 @@ def fft_convolve(signal: Array, kernel: Array, mode: str = "full") -> Array:
     if chunk < single:
         result = _fft_convolve_os(signal, kernel, chunk)
     else:
-        f_signal = jnp.fft.rfft(signal, n=single)
-        f_kernel = jnp.fft.rfft(kernel, n=single)
-        result = jnp.fft.irfft(f_signal * f_kernel, n=single)
+        result = _spectral_conv(signal, kernel, single)
 
     start_idx = (padded_size - truncate) // 2
     return result[..., start_idx : start_idx + truncate]

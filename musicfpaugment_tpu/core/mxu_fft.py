@@ -36,7 +36,9 @@ import numpy as np
 
 Array = jnp.ndarray
 
-_PREC = jax.lax.Precision.HIGHEST
+# HIGH (3-pass bf16, ~1e-5 relative DFT error at 2^17) is the speed choice;
+# HIGHEST is f32-equivalent at ~2x the matmul cost.
+_PREC = jax.lax.Precision.HIGH
 
 
 @functools.lru_cache(maxsize=None)
