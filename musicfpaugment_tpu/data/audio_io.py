@@ -113,8 +113,15 @@ class Audio:
         self.sample_rate = sample_rate
         self.mono = mono
 
-    def get_num_samples(self, file: Union[str, Path]) -> int:
-        num_samples, sr = wav_metadata(file)
+    def get_num_samples(self, file) -> int:
+        if isinstance(file, dict):
+            if "samples" in file:
+                num_samples = np.asarray(file["samples"]).shape[1]
+                sr = int(file["sample_rate"])
+            else:
+                num_samples, sr = wav_metadata(file["audio"])
+        else:
+            num_samples, sr = wav_metadata(file)
         return math.floor(num_samples * self.sample_rate / sr)
 
     def rms_normalize(self, samples: np.ndarray) -> np.ndarray:
@@ -128,11 +135,23 @@ class Audio:
 
     def __call__(
         self,
-        file: Union[str, Path],
+        file,
         sample_offset: int = 0,
         num_samples: int | None = None,
     ) -> np.ndarray:
-        data, orig_sr = read_wav(file)
+        if isinstance(file, dict):
+            # {"samples": (channels, time) array, "sample_rate": int}
+            # (ref: augmentation/utils.py:312-327)
+            if "samples" in file:
+                data = np.asarray(file["samples"], np.float32)
+                orig_sr = int(file["sample_rate"])
+            else:
+                data, orig_sr = read_wav(file["audio"])
+            channel = file.get("channel")
+            if channel is not None:
+                data = data[channel - 1 : channel, :]
+        else:
+            data, orig_sr = read_wav(file)
         orig_off = round(sample_offset * orig_sr / self.sample_rate)
         if num_samples is None:
             orig_n = data.shape[-1] - orig_off

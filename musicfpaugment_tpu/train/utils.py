@@ -16,6 +16,12 @@ import shutil
 import numpy as np
 
 
+def set_gpus(prefer: str = "tpu"):
+    """Reference-named alias of :func:`set_devices`
+    (ref: training/utils.py:40-62)."""
+    return set_devices(prefer)
+
+
 def set_devices(prefer: str = "tpu"):
     """Return the preferred available jax devices (set_gpus counterpart,
     ref: training/utils.py:40-62)."""

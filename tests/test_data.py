@@ -132,3 +132,16 @@ def test_load_track_corrupt_gives_silence(tmp_path):
         f.write(b"not a wav file at all")
     out = load_track(p, SR)
     assert np.all(out == 0)
+
+
+def test_audio_loader_dict_input(rng):
+    """Audio() accepts {"samples", "sample_rate"} dicts
+    (ref: augmentation/utils.py:312-327)."""
+    audio = Audio(sample_rate=SR)
+    samples = rng.standard_normal((1, 16000)).astype(np.float32)
+    out = audio({"samples": samples, "sample_rate": 16000})
+    assert abs(out.shape[-1] - 8000) <= 1
+    out2 = audio(
+        {"samples": samples, "sample_rate": SR}, sample_offset=10, num_samples=100
+    )
+    np.testing.assert_allclose(out2[0], samples[0, 10:110], atol=1e-6)
