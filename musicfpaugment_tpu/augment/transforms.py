@@ -453,6 +453,46 @@ class Clipping(BaseWaveformTransform):
         v_hi = jnp.take_along_axis(sorted_vals, (lo + 1)[..., None], axis=-1)[..., 0]
         return v_lo * (1.0 - frac) + v_hi * frac
 
+    @staticmethod
+    def _order_statistics(x: Array, ranks: Array) -> Array:
+        """Exact per-row k-th order statistics without sorting.
+
+        Uses the radix-sortable uint32 view of float32 (monotone bijection)
+        and a 32-step vectorized binary search on the key space: each step is
+        one counting pass over (B, T) — far cheaper than a 64k-element TPU
+        sort when only a handful of ranks are needed.
+
+        x: (B, T) float32; ranks: (B, R) int32 (0-based). Returns (B, R).
+        """
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        # monotone key: negatives -> ~u (descending halves flipped),
+        # positives -> u | 0x8000_0000
+        neg = (u >> jnp.uint32(31)) == jnp.uint32(1)
+        keys = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))  # (B, T)
+
+        B, R = ranks.shape
+        lo = jnp.zeros((B, R), jnp.uint32)
+        hi = jnp.full((B, R), jnp.uint32(0xFFFFFFFF))
+
+        def step(_, state):
+            lo, hi = state
+            mid = lo + (hi - lo) // jnp.uint32(2)
+            # count(keys <= mid) per (row, rank): (B, T, 1) vs (B, 1, R)
+            cnt = jnp.sum(
+                (keys[:, :, None] <= mid[:, None, :]).astype(jnp.int32), axis=1
+            )
+            ge = cnt >= ranks + 1  # mid is >= the rank-th order statistic
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + jnp.uint32(1))
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, 32, step, (lo, hi))
+        key = lo
+        back = jnp.where(
+            key & jnp.uint32(0x80000000), key ^ jnp.uint32(0x80000000), ~key
+        )
+        return jax.lax.bitcast_convert_type(back, jnp.float32)
+
     def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
         batch = samples.shape[0]
         q = _uniform(key, batch, self.min_percentile_threshold, self.max_percentile_threshold)
@@ -464,11 +504,19 @@ class Clipping(BaseWaveformTransform):
             lower = self._interp_quantile(flat_b, lower_q)
             upper = self._interp_quantile(flat_b, 1.0 - lower_q)
         else:
-            # per-row sort; measured faster than top_k selection on TPU
-            # (lax.top_k lowers to a full sort plus extra gathers)
-            srt = jnp.sort(ch0, axis=-1)
-            lower = self._interp_quantile(srt, lower_q)
-            upper = self._interp_quantile(srt, 1.0 - lower_q)
+            # exact per-row quantiles via binary-search selection (no sort):
+            # both tails' bracketing order statistics in one search
+            n = ch0.shape[-1]
+            pos_lo = lower_q * (n - 1)
+            pos_hi = (1.0 - lower_q) * (n - 1)
+            k_lo = jnp.clip(jnp.floor(pos_lo).astype(jnp.int32), 0, n - 2)
+            k_hi = jnp.clip(jnp.floor(pos_hi).astype(jnp.int32), 0, n - 2)
+            ranks = jnp.stack([k_lo, k_lo + 1, k_hi, k_hi + 1], axis=1)
+            vals = self._order_statistics(ch0, ranks)  # (B, 4)
+            frac_lo = pos_lo - k_lo.astype(pos_lo.dtype)
+            frac_hi = pos_hi - k_hi.astype(pos_hi.dtype)
+            lower = vals[:, 0] * (1.0 - frac_lo) + vals[:, 1] * frac_lo
+            upper = vals[:, 2] * (1.0 - frac_hi) + vals[:, 3] * frac_hi
         return jnp.clip(
             samples, _per_example(lower, samples), _per_example(upper, samples)
         )
