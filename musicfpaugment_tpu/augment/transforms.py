@@ -136,13 +136,18 @@ class LowPassFilter(BaseWaveformTransform):
         if half_size_max is None:
             # The widest kernel in range is at the smallest cutoff: julius
             # half_size = int(zeros / (f/sr) / 2). Cap at the global max and
-            # round up for layout friendliness.
+            # round up for layout friendliness. A zero lower bound (HPF1's
+            # mel-uniform range starts at 0 Hz) is capped at 2048 taps: only
+            # the ~7% of draws below zeros*sr/(2*2048) (~7.8 Hz at 8 kHz) get
+            # a truncated kernel, and at those cutoffs the high-pass is
+            # near-identity (documented divergence; pass half_size_max
+            # explicitly for the full-width kernel).
             sr = sample_rate or 8000
             if self.min_cutoff_freq > 0:
                 h = int(DEFAULT_ZEROS * sr / self.min_cutoff_freq / 2)
+                half_size_max = min(DEFAULT_HALF_SIZE_MAX, max(64, -(-h // 64) * 64))
             else:
-                h = DEFAULT_HALF_SIZE_MAX
-            half_size_max = min(DEFAULT_HALF_SIZE_MAX, max(64, -(-h // 64) * 64))
+                half_size_max = min(DEFAULT_HALF_SIZE_MAX, 2048)
         self.half_size_max = half_size_max
 
     def _sample_cutoffs(self, key, batch, sample_rate) -> Array:
