@@ -102,8 +102,20 @@ class BaseWaveformTransform:
             return samples
         else:
             mask = jax.random.bernoulli(k_mask, self.p, (batch,))
+        return self.transform_gated(
+            k_tfm, samples, sr, mask, noise_bank=noise_bank, ir_bank=ir_bank
+        )
+
+    def transform_gated(
+        self, key, samples, sample_rate, mask, *, noise_bank=None, ir_bank=None
+    ):
+        """Apply with per-example gating. Default: compute the candidate for
+        the whole batch and lane-select. Transforms whose identity can be
+        expressed through their *parameters* (gain -> 1, cutoff -> 0,
+        thresholds -> +-inf) override this to avoid the full-size selects —
+        bit-identical results, fewer memory passes."""
         transformed = self.transform(
-            k_tfm, samples, sr, noise_bank=noise_bank, ir_bank=ir_bank
+            key, samples, sample_rate, noise_bank=noise_bank, ir_bank=ir_bank
         )
         return _apply_mask(mask, transformed, samples)
 
@@ -168,6 +180,15 @@ class HighPassFilter(LowPassFilter):
     """High-pass = identity - low-pass (ref: pass_filters.py:118-155)."""
 
     _mode = "high"
+
+    def transform_gated(
+        self, key, samples, sample_rate, mask, *, noise_bank=None, ir_bank=None
+    ):
+        # cutoff 0 yields the all-zero julius kernel, so hpf = x - 0 = x:
+        # gating through the cutoff is exact and skips the full-size select
+        cutoffs = self._sample_cutoffs(key, samples.shape[0], sample_rate)
+        cutoffs = jnp.where(mask, cutoffs, 0.0)
+        return highpass_filter(samples, cutoffs, half_size_max=self.half_size_max)
 
     def __init__(
         self,
@@ -410,6 +431,13 @@ class Gain(BaseWaveformTransform):
             convert_decibels_to_amplitude_ratio(gains_db), samples
         )
 
+    def transform_gated(
+        self, key, samples, sample_rate, mask, *, noise_bank=None, ir_bank=None
+    ):
+        gains_db = _uniform(key, samples.shape[0], self.min_gain_in_db, self.max_gain_in_db)
+        ratio = jnp.where(mask, convert_decibels_to_amplitude_ratio(gains_db), 1.0)
+        return samples * _per_example(ratio, samples)
+
 
 class Clipping(BaseWaveformTransform):
     """Percentile clipping (ref: augmentation/transformations/clipping.py:10-101).
@@ -498,7 +526,7 @@ class Clipping(BaseWaveformTransform):
         )
         return jax.lax.bitcast_convert_type(back, jnp.float32)
 
-    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+    def _thresholds(self, key, samples):
         batch = samples.shape[0]
         q = _uniform(key, batch, self.min_percentile_threshold, self.max_percentile_threshold)
         lower_q = q / 2.0
@@ -522,6 +550,21 @@ class Clipping(BaseWaveformTransform):
             frac_hi = pos_hi - k_hi.astype(pos_hi.dtype)
             lower = vals[:, 0] * (1.0 - frac_lo) + vals[:, 1] * frac_lo
             upper = vals[:, 2] * (1.0 - frac_hi) + vals[:, 3] * frac_hi
+        return lower, upper
+
+    def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
+        lower, upper = self._thresholds(key, samples)
+        return jnp.clip(
+            samples, _per_example(lower, samples), _per_example(upper, samples)
+        )
+
+    def transform_gated(
+        self, key, samples, sample_rate, mask, *, noise_bank=None, ir_bank=None
+    ):
+        # gate through the thresholds: clip(x, -inf, +inf) == x exactly
+        lower, upper = self._thresholds(key, samples)
+        lower = jnp.where(mask, lower, -jnp.inf)
+        upper = jnp.where(mask, upper, jnp.inf)
         return jnp.clip(
             samples, _per_example(lower, samples), _per_example(upper, samples)
         )
