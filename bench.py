@@ -53,8 +53,11 @@ def bench_augment(batch_size: int = 256, seconds: int = 8, sr: int = 8000):
     log(f"augment compile+first batch: {time.perf_counter() - t0:.1f}s")
 
     iters = 32
-    keys = jax.random.split(jax.random.PRNGKey(1), iters)
-    _ = float(jnp.sum(keys))
+    # Pre-materialize per-iteration keys on device: slicing a device array
+    # inside the loop is an extra dispatch per iteration, which through the
+    # remote-TPU tunnel serializes with the augment call (~1 ms each).
+    keys = [jnp.asarray(k) for k in np.asarray(jax.random.split(jax.random.PRNGKey(1), iters))]
+    _ = float(jnp.sum(keys[-1]))
     t0 = time.perf_counter()
     for i in range(iters):
         out = fp.batch_augment(wavs, key=keys[i])

@@ -41,6 +41,7 @@ from musicfpaugment_tpu.augment.transforms import (
     Clipping,
     Gain,
     HighPassFilter,
+    Identity,
     LowPassFilter,
     PeakNormalization,
 )
@@ -69,6 +70,7 @@ class AugmentFP:
         impulse_response_dir: Union[str, np.ndarray, IRBank] = IMPULSE_RESPONSE_DIR,
         noise_row_length: Optional[int] = None,
         batch_quantile_clipping: bool = False,
+        fast_chain: bool = True,
     ) -> None:
         if isinstance(background_paths, NoiseBank):
             self.noise_bank = background_paths
@@ -132,6 +134,37 @@ class AugmentFP:
             ]
         )
 
+        # Fast chain: the final PeakNormalization(p=1) makes the whole chain
+        # invariant to any positive per-example rescaling of intermediates —
+        # every stage after HPF1 is positively homogeneous of degree 1 in its
+        # input (convolutions and filters are linear; the noise mix scales its
+        # noise by rms(signal); per-example clipping thresholds are quantiles
+        # *of the data*, hence scale-equivariant). So the IR and noise stages'
+        # peak normalizations and the entire Gain stage (a positive scalar
+        # multiply) drop out of the final result exactly, up to float
+        # rounding — three full-size HBM passes saved per batch. Gain's key
+        # slot is kept by an Identity placeholder so the frozen-seed stream
+        # matches the exact chain stage-for-stage. Disabled automatically for
+        # batch-quantile clipping (thresholds couple examples across
+        # different scales there).
+        self.fast_chain = fast_chain and not batch_quantile_clipping
+        if self.fast_chain:
+            tfms = list(self.augmentation_pipeline.transforms)
+            tfms[1] = ApplyImpulseResponse(
+                sample_rate=sample_rate,
+                p=parameters["proba_ir_response"],
+                normalize=False,
+            )
+            tfms[2] = AddBackgroundNoise(
+                p=parameters["proba_snr_in_db"],
+                min_snr_in_db=parameters["min_snr_in_db"],
+                max_snr_in_db=parameters["max_snr_in_db"],
+                sample_rate=sample_rate,
+                normalize=False,
+            )
+            tfms[3] = Identity()
+            self._fast_pipeline = Compose(transforms=tfms)
+
         self.are_parameters_frozen = False
         self._key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2**63))
         self._jitted = jax.jit(self._chain)
@@ -146,7 +179,10 @@ class AugmentFP:
         mono = samples.ndim == 3 and samples.shape[1] == 1
         if mono:
             samples = samples[:, 0, :]
-        out = self.augmentation_pipeline.apply(
+        pipeline = (
+            self._fast_pipeline if self.fast_chain else self.augmentation_pipeline
+        )
+        out = pipeline.apply(
             key, samples, self.sample_rate, noise_bank=noise_bank, ir_bank=ir_bank
         )
         return out[:, None, :] if mono else out

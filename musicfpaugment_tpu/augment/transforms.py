@@ -285,11 +285,17 @@ class ApplyImpulseResponse(BaseWaveformTransform):
         convolve_mode: str = "full",
         compensate_for_propagation_delay: bool = False,
         p: float = 0.5,
+        normalize: bool = True,
     ):
         super().__init__(p=p, sample_rate=sample_rate)
         self.ir_bank = ir_bank
         self.convolve_mode = convolve_mode
         self.compensate_for_propagation_delay = compensate_for_propagation_delay
+        # ``normalize=False`` skips the post-convolution peak normalization —
+        # used by AugmentFP's fast chain, where the final PeakNormalization
+        # makes every intermediate positive rescale a no-op (the whole chain
+        # is positively homogeneous of degree 1; see pipeline.py).
+        self.normalize = normalize
 
     def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
         bank = ir_bank if ir_bank is not None else self.ir_bank
@@ -299,10 +305,11 @@ class ApplyImpulseResponse(BaseWaveformTransform):
         ir = bank.sample(key, samples.shape[0])  # (B, L)
         ir_b = ir.reshape(ir.shape[0], *([1] * (samples.ndim - 2)), ir.shape[-1])
         convolved = fft_convolve(samples, ir_b, mode=self.convolve_mode)
-        # Peak-normalize over the *full* convolution tail, as the reference
-        # does before truncation (impulse_response.py:86-91).
-        peak = jnp.max(jnp.abs(convolved), axis=-1, keepdims=True)
-        convolved = convolved / jnp.where(peak > 0, peak, 1.0)
+        if self.normalize:
+            # Peak-normalize over the *full* convolution tail, as the
+            # reference does before truncation (impulse_response.py:86-91).
+            peak = jnp.max(jnp.abs(convolved), axis=-1, keepdims=True)
+            convolved = convolved / jnp.where(peak > 0, peak, 1.0)
         if self.compensate_for_propagation_delay:
             delays = jnp.argmax(jnp.abs(ir), axis=-1)
 
@@ -335,6 +342,7 @@ class AddBackgroundNoise(BaseWaveformTransform):
         p: float = 0.5,
         sample_rate: Optional[int] = None,
         mixup: bool = False,
+        normalize: bool = True,
     ):
         super().__init__(p=p, sample_rate=sample_rate)
         if min_snr_in_db > max_snr_in_db:
@@ -343,6 +351,8 @@ class AddBackgroundNoise(BaseWaveformTransform):
         self.min_snr_in_db = float(min_snr_in_db)
         self.max_snr_in_db = float(max_snr_in_db)
         self.mixup = mixup
+        # see ApplyImpulseResponse.normalize — fast-chain scale elision
+        self.normalize = normalize
 
     def transform(self, key, samples, sample_rate, *, noise_bank=None, ir_bank=None):
         bank = noise_bank if noise_bank is not None else self.noise_bank
@@ -360,6 +370,8 @@ class AddBackgroundNoise(BaseWaveformTransform):
         background_rms = calculate_rms(samples) / (10 ** (snr_b / 20.0))
         bg = background.reshape(batch, *([1] * (samples.ndim - 2)), num_samples)
         mixed = samples + background_rms[..., None] * bg
+        if not self.normalize:
+            return mixed
         peak = jnp.max(jnp.abs(mixed), axis=-1, keepdims=True)
         return mixed / jnp.where(peak > 0, peak, 1.0)
 
@@ -570,6 +582,21 @@ class Clipping(BaseWaveformTransform):
         )
 
 
+class Identity(BaseWaveformTransform):
+    """No-op placeholder that keeps a chain's per-stage key layout intact.
+
+    AugmentFP's fast chain replaces Gain with this: a per-example scalar
+    multiply is erased by the final PeakNormalization (chain homogeneity, see
+    pipeline.py), but the stage must still occupy its key slot so the frozen-
+    seed random stream matches the exact chain stage-for-stage.
+    """
+
+    requires_sample_rate = False
+
+    def __call__(self, key, samples, sample_rate=None, noise_bank=None, ir_bank=None):
+        return samples
+
+
 class PeakNormalization(BaseWaveformTransform):
     """Scale so the per-example peak hits 0 dBFS; all-zero snippets untouched
     (ref: augmentation/transformations/peak_normalization.py:10-67)."""
@@ -594,5 +621,6 @@ __all__ = [
     "AddColoredNoise",
     "Gain",
     "Clipping",
+    "Identity",
     "PeakNormalization",
 ]
