@@ -19,11 +19,26 @@ from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 
-SUPPORTED_EXTENSIONS = (".wav",)
+SUPPORTED_EXTENSIONS = (".wav", ".mp3")
 
 
 def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
-    """Return (samples (channels, time) float32 in [-1, 1], sample_rate)."""
+    """Return (samples (channels, time) float32 in [-1, 1], sample_rate).
+
+    Dispatches on extension: ``.mp3`` decodes through the native
+    libmpg123-backed decoder (the reference uses torchaudio for the mp3
+    corpora — MTG-Jamendo/FMA/DCASE; ref: augmentation/utils.py:353),
+    everything else through the RIFF/WAVE path.
+    """
+    if str(path).lower().endswith(".mp3"):
+        from musicfpaugment_tpu.data import native
+
+        if not (native.available() and native.mp3_available()):
+            raise IOError(
+                f"cannot decode {path}: native mp3 decoder unavailable "
+                "(libmpg123.so.0 not found — see native/mp3io.cc)"
+            )
+        return native.read_mp3(str(path))
     try:
         from musicfpaugment_tpu.data import native
 
@@ -51,7 +66,13 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
 
 def wav_metadata(path: Union[str, Path]) -> Tuple[int, int]:
     """Return (num_samples, sample_rate) without decoding the payload
-    (ref: augmentation/utils.py:207-220)."""
+    (ref: augmentation/utils.py:207-220). mp3 paths use a stream scan."""
+    if str(path).lower().endswith(".mp3"):
+        from musicfpaugment_tpu.data import native
+
+        if not (native.available() and native.mp3_available()):
+            raise IOError(f"cannot read {path}: native mp3 decoder unavailable")
+        return native.mp3_metadata(str(path))
     try:
         from musicfpaugment_tpu.data import native
 

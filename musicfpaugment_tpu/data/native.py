@@ -61,6 +61,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_WavInfo),
     ]
     lib.mfpa_read_wav.restype = ctypes.c_int
+    for fn_name in ("mfpa_read_mp3", "mfpa_read_audio"):
+        fn = getattr(lib, fn_name)
+        fn.argtypes = lib.mfpa_read_wav.argtypes
+        fn.restype = ctypes.c_int
+    lib.mfpa_mp3_metadata.argtypes = [ctypes.c_char_p, ctypes.POINTER(_WavInfo)]
+    lib.mfpa_mp3_metadata.restype = ctypes.c_int
+    lib.mfpa_mp3_available.restype = ctypes.c_int
     lib.mfpa_free.argtypes = [ctypes.c_void_p]
     lib.mfpa_read_wav_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -105,6 +112,35 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     rc = lib.mfpa_read_wav(path.encode(), ctypes.byref(ptr), ctypes.byref(info))
     if rc != 0:
         raise IOError(f"read_wav({path}) failed with code {rc}")
+    return _to_array(ptr, info, lib), int(info.sample_rate)
+
+
+def mp3_available() -> bool:
+    """Whether the system libmpg123 could be loaded."""
+    lib = _load()
+    return lib is not None and bool(lib.mfpa_mp3_available())
+
+
+def mp3_metadata(path: str) -> Tuple[int, int]:
+    """(num_frames, sample_rate) via a stream scan (no PCM decode)."""
+    lib = _load()
+    info = _WavInfo()
+    rc = lib.mfpa_mp3_metadata(path.encode(), ctypes.byref(info))
+    if rc != 0:
+        raise IOError(f"mp3_metadata({path}) failed with code {rc}")
+    return int(info.frames), int(info.sample_rate)
+
+
+def read_mp3(path: str) -> Tuple[np.ndarray, int]:
+    """Decode mp3 to ((channels, frames) float32, sample_rate) via the
+    system libmpg123 (ref decodes mp3 through torchaudio,
+    augmentation/utils.py:353)."""
+    lib = _load()
+    info = _WavInfo()
+    ptr = ctypes.POINTER(ctypes.c_float)()
+    rc = lib.mfpa_read_mp3(path.encode(), ctypes.byref(ptr), ctypes.byref(info))
+    if rc != 0:
+        raise IOError(f"read_mp3({path}) failed with code {rc}")
     return _to_array(ptr, info, lib), int(info.sample_rate)
 
 

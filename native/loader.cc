@@ -1,11 +1,13 @@
-// Native batch decoder: thread-pool parallel WAV decoding.
+// Native batch decoder: thread-pool parallel audio decoding (WAV + MP3).
 //
 // The data loader's hot host path — decodes a batch of files concurrently
 // (the reference leans on tf.data AUTOTUNE threads around torchaudio;
-// here it is an explicit std::thread pool around our own decoder).
+// here it is an explicit std::thread pool around our own decoders).
 
 #include <atomic>
 #include <cstdint>
+#include <cstring>
+#include <strings.h>
 #include <thread>
 #include <vector>
 
@@ -20,6 +22,14 @@ struct WavInfo {
 };
 
 int mfpa_read_wav(const char* path, float** out, WavInfo* info);
+int mfpa_read_mp3(const char* path, float** out, WavInfo* info);
+
+// Extension-dispatched single-file decode (wav by default, .mp3 -> mpg123).
+int mfpa_read_audio(const char* path, float** out, WavInfo* info) {
+  const char* dot = strrchr(path, '.');
+  if (dot && strcasecmp(dot, ".mp3") == 0) return mfpa_read_mp3(path, out, info);
+  return mfpa_read_wav(path, out, info);
+}
 
 // Decode n files in parallel with up to `num_threads` workers.
 // outs[i] receives a malloc'd interleaved float32 buffer (or nullptr on
@@ -36,7 +46,7 @@ void mfpa_read_wav_batch(const char** paths, int n, float** outs,
       int i = next.fetch_add(1);
       if (i >= n) return;
       outs[i] = nullptr;
-      rcs[i] = mfpa_read_wav(paths[i], &outs[i], &infos[i]);
+      rcs[i] = mfpa_read_audio(paths[i], &outs[i], &infos[i]);
     }
   };
   std::vector<std::thread> threads;
