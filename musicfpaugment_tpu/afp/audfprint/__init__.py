@@ -11,6 +11,7 @@ from musicfpaugment_tpu.afp.audfprint.landmarks import (
     hashes_from_mask_np,
 )
 from musicfpaugment_tpu.afp.audfprint.matcher import Matcher
+from musicfpaugment_tpu.afp.audfprint.matcher_device import DeviceMatcher
 from musicfpaugment_tpu.afp.audfprint.peaks import find_peaks_batch
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "landmarks2hashes",
     "HashTable",
     "Matcher",
+    "DeviceMatcher",
     "find_peaks_batch",
     "hashes_from_mask",
     "hashes_from_mask_np",

@@ -18,7 +18,7 @@ SURVEY.md §7 hard-part 5).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -168,6 +168,7 @@ class AugmentFP:
         self.are_parameters_frozen = False
         self._key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2**63))
         self._jitted = jax.jit(self._chain)
+        self._jitted_indexed = jax.jit(self._chain_indexed)
 
     # ------------------------------------------------------------ chain
 
@@ -186,6 +187,29 @@ class AugmentFP:
             key, samples, self.sample_rate, noise_bank=noise_bank, ir_bank=ir_bank
         )
         return out[:, None, :] if mono else out
+
+    def _chain_indexed(
+        self,
+        base_key: jax.Array,
+        indices: Array,
+        samples: Array,
+        noise_bank: NoiseBank,
+        ir_bank: IRBank,
+    ) -> Array:
+        """Per-example-key chain: example i is augmented under
+        ``fold_in(base_key, indices[i])`` — every randomness draw depends only
+        on the example's *global* index, so results are invariant to how the
+        corpus is split into batches (the reference gets this per-file via
+        batch-size-1 processing, ref: generate_queries.py:74; the round-1
+        batched path advanced one key per batch, making the frozen-seed query
+        set batch-size-dependent)."""
+
+        def one(i, w):
+            return self._chain(
+                jax.random.fold_in(base_key, i), w[None], noise_bank, ir_bank
+            )[0]
+
+        return jax.vmap(one)(indices, samples)
 
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
@@ -211,6 +235,26 @@ class AugmentFP:
         if key is None:
             key = self._next_key()
         return self._jitted(key, waveforms, self.noise_bank, self.ir_bank)
+
+    def batch_augment_indexed(
+        self,
+        waveforms: Union[Array, np.ndarray],
+        indices: Union[Array, np.ndarray, Sequence[int]],
+        base_key=None,
+    ) -> Array:
+        """Batch-size-invariant augmentation: example ``i``'s randomness is a
+        pure function of ``indices[i]`` and the frozen base key, so a corpus
+        processed in batches of 8 or 64 yields bit-identical outputs. Used by
+        frozen-seed query generation (testing/generate_queries.py)."""
+        waveforms = jnp.asarray(waveforms, jnp.float32)
+        indices = jnp.asarray(indices, jnp.int32)
+        if base_key is None:
+            # frozen: the base key is the frozen seed itself (not advanced),
+            # keeping the full query set a function of (seed, index) only
+            base_key = self._key if self.are_parameters_frozen else self._next_key()
+        return self._jitted_indexed(
+            base_key, indices, waveforms, self.noise_bank, self.ir_bank
+        )
 
     # ------------------------------------------------------------ freezing
 

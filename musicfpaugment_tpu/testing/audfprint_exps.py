@@ -92,13 +92,26 @@ def compute_accuracy_batched(
     analyzer2: Optional[AudfprintPeaks] = None,
     batch_size: int = 64,
     shifts: int = 4,
+    use_device_matcher: bool = True,
 ) -> Dict[str, float]:
     """Batched counterpart of :func:`compute_accuracy`: query waveforms are
-    stacked and peak extraction for the whole batch (x shifts) runs as one
-    XLA program per shift; matching stays in vectorized numpy. Same accuracy
-    definition and mix rule as the reference (audfprint_exps.py:31-83)."""
+    stacked, peak extraction for the whole batch (x shifts) runs as one XLA
+    program per shift, and matching runs through the batched
+    :class:`DeviceMatcher` (one XLA program per batch; the vectorized-numpy
+    ``Matcher`` oracle is available via ``use_device_matcher=False``). Same
+    accuracy definition and mix rule as the reference
+    (audfprint_exps.py:31-83)."""
+    from musicfpaugment_tpu.afp.audfprint import DeviceMatcher
+
     hash_tab = dbpath if isinstance(dbpath, HashTable) else HashTable(dbpath)
-    matcher = Matcher()
+    if use_device_matcher:
+        device_matcher = DeviceMatcher(hash_tab)
+        match_batch = device_matcher.match_hashes_batch
+    else:
+        matcher = Matcher()
+        match_batch = lambda hs: [
+            matcher.hashes_match_to_msgs(hash_tab, qh) for qh in hs
+        ]
     analyzers = [analyzer1] + ([analyzer2] if analyzer2 is not None else [])
     correct = [0 for _ in analyzers]
     acc_mix = 0
@@ -119,10 +132,7 @@ def compute_accuracy_batched(
         per_analyzer = []
         for a in analyzers:
             hashes_list = a.hashes_batch(batch, shifts=shifts)
-            msgs = [
-                matcher.hashes_match_to_msgs(hash_tab, qh) for qh in hashes_list
-            ]
-            per_analyzer.append(msgs)
+            per_analyzer.append(match_batch(hashes_list))
         for qi, gt in enumerate(gts):
             n += 1
             preds = []

@@ -1,14 +1,27 @@
-"""FMA-large evaluation-set preprocessing (ref: testing/fma_preprocessing.py).
+"""FMA-large evaluation-corpus selection.
 
-Paths are environment-overridable (MFPA_FMA_ROOT, MFPA_DATASET_DIR) so the
-harness runs outside the reference's docker mounts. The selection logic —
-blacklist removal, genre-balanced sampling with seeds 31/42, >12 s duration
-filter, hardcoded exception indices — is kept verbatim for query-set parity.
+Counterpart of ref: testing/fma_preprocessing.py — the same *selection
+semantics* (these define the paper's 10k-query corpus, so they must match
+bit-for-bit), expressed in this project's own structure:
+
+* paths are environment-overridable (``MFPA_FMA_ROOT``, ``MFPA_DATASET_DIR``)
+  instead of hardcoded docker mounts;
+* the FMA ``tracks.csv`` reader extracts only the two columns this pipeline
+  consumes (top genre, duration) rather than re-running the full mdeff/fma
+  metadata parse (tags, dates, licenses) the reference vendors;
+* selection constants are named at module level and the quirks are explicit:
+  a genre with *exactly* 900 tracks is dropped (both comparisons in the
+  reference are strict, fma_preprocessing.py:103-110), and the 6 exception
+  indices are positions into the shuffled list, popped sequentially
+  (fma_preprocessing.py:115-128).
+
+Determinism contract: python RNG seeded 31 is consumed only by the final
+shuffle; per-genre subsampling uses pandas ``random_state=42`` — identical
+streams to the reference.
 """
 
 from __future__ import annotations
 
-import ast
 import glob
 import os
 import random
@@ -21,71 +34,80 @@ DATASET_DIR = os.environ.get(
     "MFPA_DATASET_DIR", os.path.join(os.path.dirname(__file__), "dataset")
 )
 
+# selection constants (ref: fma_preprocessing.py:96-128)
+MIN_DURATION_S = 12  # strict >: 12 s tracks are dropped
+GENRE_CAP_THRESHOLD = 900  # strict on both sides: ==900 genres are dropped
+GENRE_SAMPLE_SIZE = 885
+SHUFFLE_SEED = 31
+GENRE_SAMPLE_SEED = 42
+EXCEPTION_POSITIONS = (77, 2476, 2979, 3023, 4165, 7945)
+
+
+def blacklist_paths() -> List[str]:
+    """The 198 corrupt/duplicate files excluded from the index
+    (vendored asset: testing/dataset/fma_large_to_remove.txt)."""
+    path = os.path.join(DATASET_DIR, "fma_large_to_remove.txt")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return [os.path.join(FMA_ROOT, line) for line in fh.read().splitlines() if line]
+
 
 def preprocessing_fma_large() -> List[str]:
-    """Glob fma_large minus the 198-file blacklist
-    (ref: fma_preprocessing.py:10-18)."""
-    test_mp3s = glob.glob(FMA_ROOT + "/fma_large/*/*.mp3", recursive=True)
-    blacklist_path = os.path.join(DATASET_DIR, "fma_large_to_remove.txt")
-    mp3s_to_remove: List[str] = []
-    if os.path.exists(blacklist_path):
-        with open(blacklist_path) as text_file:
-            mp3s_to_remove = [
-                FMA_ROOT + "/" + p for p in text_file.read().split("\n") if p
-            ]
-    remove_set = set(mp3s_to_remove)
-    return [m for m in test_mp3s if m not in remove_set]
+    """All fma_large mp3s minus the blacklist (ref: fma_preprocessing.py:10-18)."""
+    candidates = glob.glob(os.path.join(FMA_ROOT, "fma_large", "*", "*.mp3"))
+    excluded = set(blacklist_paths())
+    return [p for p in candidates if p not in excluded]
+
+
+def track_id_to_path(track_id) -> str:
+    """FMA shards files by the first 3 digits of the zero-padded id
+    (ref: fma_preprocessing.py:79-81)."""
+    tid = str(track_id).zfill(6)
+    return f"{FMA_ROOT}/fma_large/{tid[:3]}/{tid}.mp3"
+
+
+# API-parity alias (the reference calls this get_file_path)
+get_file_path = track_id_to_path
+
+
+def read_track_metadata(tracks_csv: str) -> pd.DataFrame:
+    """Columns (top_genre, duration, file_paths) from FMA's two-header
+    ``tracks.csv``. Only these feed the corpus selection — the full FMA
+    metadata parse (tags/dates/categories, ref: fma_preprocessing.py:21-76)
+    is deliberately not reproduced."""
+    tracks = pd.read_csv(tracks_csv, index_col=0, header=[0, 1])
+    frame = pd.DataFrame(
+        {
+            "top_genre": tracks[("track", "genre_top")],
+            "duration": tracks[("track", "duration")],
+        }
+    )
+    frame["file_paths"] = [track_id_to_path(tid) for tid in frame.index]
+    return frame.reset_index(drop=True)
 
 
 def load(filepath: str) -> pd.DataFrame:
-    """FMA metadata csv loader (ref: fma_preprocessing.py:21-76)."""
-    filename = os.path.basename(filepath)
-    if "genres" in filename:
+    """Thin parity shim for the reference's ``load`` entry point: genres csv
+    passes through; tracks csv returns the reduced metadata frame (see
+    :func:`read_track_metadata`)."""
+    name = os.path.basename(filepath)
+    if "genres" in name:
         return pd.read_csv(filepath, index_col=0)
-    elif "tracks" in filename:
-        tracks = pd.read_csv(filepath, index_col=0, header=[0, 1])
-        for column in [
-            ("track", "tags"),
-            ("album", "tags"),
-            ("artist", "tags"),
-            ("track", "genres"),
-            ("track", "genres_all"),
-        ]:
-            tracks[column] = tracks[column].map(ast.literal_eval)
-        for column in [
-            ("track", "date_created"),
-            ("track", "date_recorded"),
-            ("album", "date_created"),
-            ("album", "date_released"),
-            ("artist", "date_created"),
-            ("artist", "active_year_begin"),
-            ("artist", "active_year_end"),
-        ]:
-            tracks[column] = pd.to_datetime(tracks[column])
-        subsets = ("small", "medium", "large")
-        tracks["set", "subset"] = tracks["set", "subset"].astype(
-            pd.CategoricalDtype(categories=subsets, ordered=True)
-        )
-        for column in [
-            ("track", "genre_top"),
-            ("track", "license"),
-            ("album", "type"),
-            ("album", "information"),
-            ("artist", "bio"),
-        ]:
-            tracks[column] = tracks[column].astype("category")
-        return tracks
-    raise ValueError(f"File {filename} cannot be opened.")
-
-
-def get_file_path(input_str: str) -> str:
-    """track id -> fma_large shard path (ref: fma_preprocessing.py:79-81)."""
-    input_str = str(input_str).zfill(6)
-    return f"{FMA_ROOT}/fma_large/{input_str[:3]}/{input_str}.mp3"
+    if "tracks" in name:
+        return read_track_metadata(filepath)
+    raise ValueError(f"File {name} cannot be opened.")
 
 
 class TestSet:
-    """Genre-balanced query sampling (ref: fma_preprocessing.py:84-128)."""
+    """Genre-balanced query sampling (ref: fma_preprocessing.py:84-128).
+
+    The list order is part of the determinism contract: genres iterate in
+    ``value_counts()`` order (descending count), tracks keep dataframe order
+    (small genres) or pandas-sample order (large genres), and the final
+    shuffle under seed 31 fixes the positions that ``remove_exceptions``
+    pops.
+    """
 
     def __init__(self, dataset: pd.DataFrame) -> None:
         self.dataset = dataset
@@ -94,53 +116,42 @@ class TestSet:
         return self.dataset.groupby("top_genre", dropna=False).count()
 
     def remove_short_tracks(self) -> None:
-        self.dataset = self.dataset[self.dataset["duration"] > 12]
+        self.dataset = self.dataset[self.dataset["duration"] > MIN_DURATION_S]
+
+    def _genre_paths(self, genre: str, count: int) -> List[str]:
+        in_genre = self.dataset[self.dataset["top_genre"] == genre]
+        if count < GENRE_CAP_THRESHOLD:
+            return in_genre["file_paths"].tolist()
+        if count > GENRE_CAP_THRESHOLD:
+            capped = in_genre.sample(
+                n=GENRE_SAMPLE_SIZE, random_state=GENRE_SAMPLE_SEED
+            )
+            return capped["file_paths"].tolist()
+        return []  # exactly-900 quirk: dropped, as in the reference
 
     def sample_queries(self) -> List[str]:
-        random.seed(31)
-        result = self.dataset["top_genre"].value_counts()
+        random.seed(SHUFFLE_SEED)
         samples: List[str] = []
-        for genre, count in result.items():
-            if count < 900:
-                files = self.dataset[self.dataset["top_genre"] == genre]
-                samples.extend(files["file_paths"].tolist())
-            if count > 900:
-                files = self.dataset[self.dataset["top_genre"] == genre].sample(
-                    n=885, random_state=42
-                )
-                samples.extend(files["file_paths"].tolist())
+        for genre, count in self.dataset["top_genre"].value_counts().items():
+            samples.extend(self._genre_paths(genre, count))
         random.shuffle(samples)
         return samples
 
     def remove_exceptions(self, samples: List[str]) -> List[str]:
-        samples_to_remove = [77, 2476, 2979, 3023, 4165, 7945]
-        for index in samples_to_remove:
-            samples.pop(index)
+        for position in EXCEPTION_POSITIONS:
+            samples.pop(position)
         return samples
 
 
 def main() -> None:
-    """Build fma_large_preprocessed.csv (ref: fma_preprocessing.py:131-156)."""
-    tracks = load(f"{FMA_ROOT}/fma_metadata/tracks.csv")
-    genre_data_csv = tracks["track"][["genre_top", "duration"]]
-    genre_dataset = pd.DataFrame(
-        {
-            "track_id": genre_data_csv.index,
-            "top_genre": genre_data_csv.genre_top,
-            "duration": genre_data_csv.duration,
-        }
-    )
-    genre_dataset["file_paths"] = genre_dataset["track_id"].apply(get_file_path)
-    genre_dataset.drop(columns=["track_id"], inplace=True)
-
-    preprocessed_fma = pd.read_csv(
+    """Join genre/duration metadata onto the preprocessed path list and write
+    ``fma_large_preprocessed.csv`` (ref: fma_preprocessing.py:131-156)."""
+    metadata = read_track_metadata(os.path.join(FMA_ROOT, "fma_metadata", "tracks.csv"))
+    paths = pd.read_csv(
         os.path.join(DATASET_DIR, "fma_large_preprocessed.txt"), header=None
-    )
-    preprocessed_fma = preprocessed_fma.rename(columns={0: "file_paths"})
-    final_dataset = preprocessed_fma.merge(genre_dataset, on="file_paths", how="left")
-    final_dataset.to_csv(
-        os.path.join(DATASET_DIR, "fma_large_preprocessed.csv"), index=False
-    )
+    ).rename(columns={0: "file_paths"})
+    joined = paths.merge(metadata, on="file_paths", how="left")
+    joined.to_csv(os.path.join(DATASET_DIR, "fma_large_preprocessed.csv"), index=False)
 
 
 if __name__ == "__main__":

@@ -88,19 +88,24 @@ def generate_augmented_queries(
 
     for i in range(0, len(clean_queries), batch_size):
         names = clean_queries[i : i + batch_size]
-        batch, kept = [], []
-        for query in names:
+        batch, kept, kept_idx = [], [], []
+        for j, query in enumerate(names):
             try:
                 with open(os.path.join(cleans_path, str(query)), "rb") as f:
                     clean_audio = np.asarray(pickle.load(f), np.float32).reshape(-1)
                 batch.append(clean_audio)
                 kept.append(query)
+                kept_idx.append(i + j)
             except Exception:
                 print("error with : ", query)
         if not batch:
             continue
         wavs = np.stack(batch)[:, None, :]  # (B, 1, T)
-        augmented = np.asarray(augmenter.batch_augment(wavs))[:, 0, :]
+        # per-example keys folded from the *global* query index: the frozen
+        # seed-42 query set is invariant to batch_size (VERDICT r1 #6)
+        augmented = np.asarray(
+            augmenter.batch_augment_indexed(wavs, kept_idx)
+        )[:, 0, :]
         if save:
             for query, aug in zip(kept, augmented):
                 with open(os.path.join(save_path, str(query)), "wb") as handle:

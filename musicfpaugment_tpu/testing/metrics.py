@@ -52,7 +52,7 @@ class Recall:
     def __init__(self, tolerance: int = 0) -> None:
         self.tolerance = tolerance
 
-    def __call__(self, predicted, gt, device: str = "cpu") -> float:
+    def __call__(self, predicted, gt) -> float:
         predicted = jnp.asarray(predicted, jnp.float32)
         gt = jnp.asarray(gt, jnp.float32)
         n_gt = jnp.sum(gt)
@@ -71,7 +71,7 @@ class Precision:
     def __init__(self, tolerance: int = 0) -> None:
         self.tolerance = tolerance
 
-    def __call__(self, predicted, gt, device: str = "cpu") -> float:
+    def __call__(self, predicted, gt) -> float:
         predicted = jnp.asarray(predicted, jnp.float32)
         gt = jnp.asarray(gt, jnp.float32)
         n_pred = jnp.sum(predicted)
@@ -90,9 +90,9 @@ class F1score:
         self.prec = Precision(tolerance)
         self.rec = Recall(tolerance)
 
-    def __call__(self, predicted, gt, device: str = "cpu") -> float:
-        p = self.prec(predicted, gt, device)
-        r = self.rec(predicted, gt, device)
+    def __call__(self, predicted, gt) -> float:
+        p = self.prec(predicted, gt)
+        r = self.rec(predicted, gt)
         if math.isclose(p + r, 0.0):
             return 0.0
         return float(2.0 * (p * r) / (p + r))

@@ -51,16 +51,32 @@ def monitor_audios(
 def monitor_specs(
     writer, clean, augmented, denoised, epoch: int, datas: str, max_outputs: int = 3
 ) -> None:
-    """Log spectrogram images of the triplets."""
-    import tensorflow as tf
-
+    """Log spectrogram images of waveform triplets."""
     from musicfpaugment_tpu.train.trainer import spectrogram_batch
 
+    specs = [
+        np.asarray(spectrogram_batch(np.asarray(batch)[:max_outputs]))
+        for batch in (clean, augmented, denoised)
+    ]
+    monitor_specs_precomputed(writer, *specs, epoch=epoch, datas=datas,
+                              max_outputs=max_outputs)
+
+
+def monitor_specs_precomputed(
+    writer, clean_spec, augmented_spec, denoised_spec, epoch: int, datas: str,
+    max_outputs: int = 3,
+) -> None:
+    """Log spectrogram-image triplets that are already in the spectrogram
+    domain (the UNet path: the denoiser output IS a spectrogram)."""
+    import tensorflow as tf
+
     with writer.as_default():
-        for name, batch in [
-            ("clean", clean), ("augmented", augmented), ("denoised", denoised),
+        for name, spec in [
+            ("clean", clean_spec),
+            ("augmented", augmented_spec),
+            ("denoised", denoised_spec),
         ]:
-            spec = np.asarray(spectrogram_batch(np.asarray(batch)[:max_outputs]))
+            spec = np.asarray(spec)[:max_outputs]
             img = spec[..., None] / max(spec.max(), 1e-9)
             tf.summary.image(
                 f"{datas}/spec_{name}", img[:, ::-1, :, :], step=epoch,

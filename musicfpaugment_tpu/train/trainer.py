@@ -56,10 +56,20 @@ Array = jnp.ndarray
 
 
 def spectrogram_batch(waveforms: Array) -> Array:
-    """The model frontend: |STFT| / global max, n_fft 512 hop 256 — matched
-    to audfprint's STFT (ref: training/visualisation.py:13-36)."""
+    """The model frontend: |STFT| / per-example max, n_fft 512 hop 256 —
+    matched to audfprint's STFT (ref: training/visualisation.py:13-36).
+
+    Documented divergence: the reference normalizes by the max over the whole
+    *batch* (visualisation.py:29), but AFP inference feeds the denoiser
+    per-example max-normalized spectrograms (ref: peak_extractor.py:265-269,
+    fingerprint.py:70-75; here afp/audfprint/peaks.py spectrogram_frontend).
+    Normalizing per example at training time removes that train/inference
+    scale mismatch; for batch size 1 (the reference's query path) the two
+    definitions coincide.
+    """
     mag = jnp.abs(_stft(waveforms, n_fft=512, hop_length=256))
-    return mag / jnp.maximum(jnp.max(mag), jnp.finfo(mag.dtype).tiny)
+    denom = jnp.max(mag, axis=(-2, -1), keepdims=True)
+    return mag / jnp.maximum(denom, jnp.finfo(mag.dtype).tiny)
 
 
 class EarlyStopping:
@@ -173,6 +183,7 @@ class Trainer:
         monitoring: bool = False,
         seed: int = 59,
         example_batch: Optional[np.ndarray] = None,
+        cache_validation_set: bool = True,
     ) -> None:
         self.model = model
         self.train_iter = train_iter
@@ -194,6 +205,17 @@ class Trainer:
         self.epoch_start = 1
         self.min_valid_loss = float("inf")
         self.history: list = []
+        # Validation-set caching (ref: training/jamendo.py:181-194 caches +
+        # warms the val tf.data pipeline so every epoch sees identical val
+        # data): the first val_steps batches are materialized once and
+        # replayed with *fixed* per-batch augmentation keys, so val loss is a
+        # fixed target for the plateau scheduler and early stopping.
+        self.cache_validation_set = cache_validation_set
+        self._val_cache: Optional[list] = None
+        self._val_keys = [
+            jax.random.fold_in(jax.random.PRNGKey(seed + 1), i)
+            for i in range(val_steps)
+        ]
 
         self.rng = jax.random.PRNGKey(seed)
         self.tx = optax.inject_hyperparams(optax.adam)(
@@ -367,11 +389,25 @@ class Trainer:
                 acc[k] = acc.get(k, 0.0) + float(v)
         return {k: v / self.train_steps for k, v in acc.items()}
 
+    def _val_batches(self):
+        if not self.cache_validation_set:
+            return (
+                self._get_batch(self.val_iter) + (self._next_keys(),)
+                for _ in range(self.val_steps)
+            )
+        if self._val_cache is None:
+            self._val_cache = [
+                self._get_batch(self.val_iter) for _ in range(self.val_steps)
+            ]
+        return (
+            (clean, aug, key)
+            for (clean, aug), key in zip(self._val_cache, self._val_keys)
+        )
+
     def validation_epoch(self) -> Tuple[Dict[str, float], Dict[str, float]]:
         acc: Dict[str, float] = {}
-        for _ in range(self.val_steps):
-            clean, aug = self._get_batch(self.val_iter)
-            terms = self._val_step(self.state, clean, aug, self._next_keys())
+        for clean, aug, key in self._val_batches():
+            terms = self._val_step(self.state, clean, aug, key)
             for k, v in terms.items():
                 acc[k] = acc.get(k, 0.0) + float(v)
         out = {k: v / self.val_steps for k, v in acc.items()}
@@ -419,6 +455,8 @@ class Trainer:
                 self._save_checkpoint("last_epoch", epoch)
             if self.monitoring:
                 self._log_tensorboard(epoch, train_loss, val_losses, val_metrics)
+                if epoch % 10 == 0:
+                    self._log_media(epoch)
 
     # ------------------------------------------------------------ ckpt
 
@@ -483,14 +521,70 @@ class Trainer:
 
     # ------------------------------------------------------------ logging
 
+    def _media_triplet(self, clean, aug, key):
+        """(augmented, denoised) for a monitoring batch — jitted on first use."""
+        if not hasattr(self, "_media_step"):
+            has_aug = self.augmenter is not None
+
+            def media_step(state, clean, aug, key):
+                if has_aug:
+                    aug = self._make_batch(clean, None, key)
+                if self.input_type == "spec":
+                    variables = {
+                        "params": state.params, "batch_stats": state.batch_stats
+                    }
+                    pred = self.model.apply(
+                        variables, spectrogram_batch(aug), train=False
+                    )
+                else:
+                    pred = self.model.apply({"params": state.params}, aug)
+                return aug, pred
+
+            self._media_step = jax.jit(media_step)
+        return self._media_step(self.state, clean, aug, key)
+
+    def _log_media(self, epoch: int) -> None:
+        """wav + spectrogram triplets every 10 epochs
+        (ref: training/train.py:318-338 — audio path only there; the spec
+        path here logs spectrogram-domain triplets, which the reference
+        cannot since its monitoring runs on waveforms)."""
+        try:
+            import tensorflow as tf  # noqa: F401
+        except ImportError:
+            return
+        from musicfpaugment_tpu.train import callbacks
+
+        clean, aug, key = next(iter(self._val_batches()))
+        aug_out, pred = jax.device_get(self._media_triplet(clean, aug, key))
+        clean = np.asarray(clean)
+        writer = self._get_tb_writer()
+        if self.input_type == "audio":
+            callbacks.monitor_audios(writer, clean, aug_out, pred, epoch, "val")
+            callbacks.monitor_specs(writer, clean, aug_out, pred, epoch, "val")
+        else:
+            callbacks.monitor_specs_precomputed(
+                writer,
+                spectrogram_batch(jnp.asarray(clean[:3])),
+                spectrogram_batch(jnp.asarray(aug_out[:3])),
+                pred[:3],
+                epoch=epoch,
+                datas="val",
+            )
+
+    def _get_tb_writer(self):
+        import tensorflow as tf
+
+        if not hasattr(self, "_tb_writer"):
+            self._tb_writer = tf.summary.create_file_writer(
+                os.path.join(self.checkpoint, "tb")
+            )
+        return self._tb_writer
+
     def _log_tensorboard(self, epoch, train_loss, val_losses, val_metrics):
         try:
+            self._get_tb_writer()
             import tensorflow as tf
 
-            if not hasattr(self, "_tb_writer"):
-                self._tb_writer = tf.summary.create_file_writer(
-                    os.path.join(self.checkpoint, "tb")
-                )
             with self._tb_writer.as_default():
                 for k, v in train_loss.items():
                     tf.summary.scalar(f"train/{k}", v, step=epoch)

@@ -10,7 +10,7 @@ import numpy as np
 from musicfpaugment_tpu.train.trainer import spectrogram_batch
 
 
-def spectrogram(waveform, amplitude: bool = False, device: str = "tpu") -> Any:
+def spectrogram(waveform, amplitude: bool = False) -> Any:
     """The model-frontend STFT — same parameters as audfprint's STFT
     (ref: visualisation.py:13-36). Accepts (T,), (B, T)."""
     x = jnp.asarray(waveform, jnp.float32)

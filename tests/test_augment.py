@@ -296,3 +296,52 @@ def test_sharded_augmenter_matches_single_device(banks):
 
     with pytest.raises(ValueError):
         sharded.batch_augment(wavs[:3], key=key)
+
+
+def test_batch_augment_indexed_batch_size_invariance(banks):
+    """fold_in(base_key, global_index) per example: the frozen-seed output
+    for a corpus is identical however it is batched (VERDICT r1 #6; the
+    reference achieves this by per-file batch-1 processing,
+    ref: generate_queries.py:74)."""
+    noise_bank, ir_bank = banks
+    fp = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    wavs = _music(batch=6, seconds=1)  # (B, 1, T)
+    fp.freeze_parameters(42)
+    full = np.asarray(fp.batch_augment_indexed(wavs, np.arange(6)))
+    fp.freeze_parameters(42)
+    a = np.asarray(fp.batch_augment_indexed(wavs[:2], [0, 1]))
+    b = np.asarray(fp.batch_augment_indexed(wavs[2:], [2, 3, 4, 5]))
+    np.testing.assert_array_equal(full, np.concatenate([a, b]))
+    # distinct indices produce distinct augmentations
+    assert not np.allclose(full[0], full[1])
+
+
+def test_generate_augmented_queries_batch_size_invariant(tmp_path, banks):
+    import os
+    import pickle
+
+    from musicfpaugment_tpu.testing.generate_queries import (
+        generate_augmented_queries,
+    )
+
+    noise_bank, ir_bank = banks
+    cleans = tmp_path / "cleans"
+    cleans.mkdir()
+    wavs = _music(batch=5, seconds=1)
+    for i in range(5):
+        with open(cleans / f"q{i}.pkl", "wb") as f:
+            pickle.dump(wavs[i], f)
+    outs = []
+    for bs in (2, 5):
+        out = tmp_path / f"aug_bs{bs}"
+        fp = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+        generate_augmented_queries(
+            str(out), {}, save=True, augmenter=fp, cleans_path=str(cleans),
+            batch_size=bs,
+        )
+        outs.append(
+            {q: pickle.load(open(out / q, "rb")) for q in os.listdir(out)}
+        )
+    assert outs[0].keys() == outs[1].keys()
+    for q in outs[0]:
+        np.testing.assert_array_equal(outs[0][q], outs[1][q])

@@ -1,0 +1,107 @@
+"""DeviceMatcher parity vs the numpy Matcher oracle (VERDICT r1 #5).
+
+A synthetic corpus is indexed, and queries (true crops with hash corruption +
+pure-junk queries) are matched through both paths; verdict, name, and aligned
+count must agree.
+"""
+
+import numpy as np
+import pytest
+
+from musicfpaugment_tpu.afp.audfprint import DeviceMatcher, HashTable, Matcher
+
+
+def _synthetic_tracks(rng, n_tracks=24, hashes_per_track=400):
+    """(time, hash) arrays with track-distinct hash vocabularies plus shared
+    collisions so candidate filtering is exercised."""
+    tracks = []
+    for i in range(n_tracks):
+        times = np.sort(rng.integers(0, 900, hashes_per_track)).astype(np.int64)
+        own = rng.integers(0, 2**20, hashes_per_track)
+        # 20% shared hashes across the corpus -> cross-track hits
+        shared = rng.integers(0, 5000, hashes_per_track)
+        use_shared = rng.random(hashes_per_track) < 0.2
+        hashes = np.where(use_shared, shared, own)
+        tracks.append(np.stack([times, hashes], axis=1))
+    return tracks
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(5)
+    tracks = _synthetic_tracks(rng)
+    ht = HashTable()
+    for i, th in enumerate(tracks):
+        ht.store(f"track{i:03d}", th)
+    return ht, tracks, rng
+
+
+def _queries(tracks, rng, n=32):
+    qs = []
+    for qi in range(n):
+        if qi % 4 == 3:  # junk query: random hashes, should NOMATCH
+            t = np.sort(rng.integers(0, 250, 80))
+            h = rng.integers(2**19, 2**20, 80)
+            qs.append(np.stack([t, h], axis=1))
+            continue
+        ti = int(rng.integers(0, len(tracks)))
+        th = tracks[ti]
+        start = int(rng.integers(0, 600))
+        sel = th[(th[:, 0] >= start) & (th[:, 0] < start + 250)].copy()
+        sel[:, 0] -= start
+        # corrupt 30% of the hashes (augmentation damage)
+        bad = rng.random(len(sel)) < 0.3
+        sel[bad, 1] = rng.integers(0, 2**20, bad.sum())
+        qs.append(sel)
+    return qs
+
+
+def test_device_matcher_parity(corpus):
+    ht, tracks, rng = corpus
+    queries = _queries(tracks, rng)
+    oracle = Matcher()
+    dm = DeviceMatcher(ht)
+    got = dm.match_hashes_batch(queries)
+    assert len(got) == len(queries)
+    n_match = 0
+    for q, (status, name, count) in zip(queries, got):
+        o_status, o_name, o_count = oracle.hashes_match_to_msgs(ht, q)
+        assert status == o_status, (status, o_status)
+        if status == "MATCH":
+            n_match += 1
+            assert name == o_name
+            # counts agree except the documented +-window local-max corner
+            assert abs(count - o_count) <= 2, (count, o_count)
+    assert n_match >= len(queries) // 2  # the true-crop queries must match
+
+
+def test_device_matcher_batch_invariance(corpus):
+    ht, tracks, rng = corpus
+    queries = _queries(tracks, np.random.default_rng(9), n=12)
+    dm = DeviceMatcher(ht)
+    full = dm.match_hashes_batch(queries)
+    halves = dm.match_hashes_batch(queries[:6]) + dm.match_hashes_batch(queries[6:])
+    assert full == halves
+
+
+def test_device_matcher_empty_and_zero_queries(corpus):
+    ht, _, _ = corpus
+    dm = DeviceMatcher(ht)
+    out = dm.match_hashes_batch([np.zeros((0, 2), np.int64)])
+    assert out == [("NOMATCH", "", 0)]
+    assert dm.match_hashes_batch([]) == []
+
+
+def test_device_matcher_refresh(corpus):
+    ht, tracks, _ = corpus
+    dm = DeviceMatcher(ht)
+    new = np.stack(
+        [np.arange(100, dtype=np.int64), np.arange(100, dtype=np.int64) + 7],
+        axis=1,
+    )
+    ht.store("late_track", new)
+    dm.refresh()
+    q = new[10:60].copy()
+    q[:, 0] -= 10
+    (status, name, count) = dm.match_hashes_batch([q])[0]
+    assert status == "MATCH" and name == "late_track"

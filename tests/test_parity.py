@@ -31,7 +31,13 @@ def test_loss_stft_matches_torch(rng):
 def test_model_spectrogram_matches_torch(rng):
     """spectrogram_batch == the reference's torch.stft frontend
     (ref: training/visualisation.py:13-36: n_fft 512, hop 256,
-    np.hanning(514)[1:-1] window, center reflect padding, |.| / max)."""
+    np.hanning(514)[1:-1] window, center reflect padding, |.|).
+
+    Normalization divergence (documented in spectrogram_batch): the reference
+    divides by the batch-global max; this framework divides per example to
+    match AFP inference (peak_extractor.py:265-269). The torch oracle here is
+    therefore applied per example.
+    """
     from musicfpaugment_tpu.train.trainer import spectrogram_batch
 
     x = rng.standard_normal((2, 24000)).astype(np.float32)
@@ -44,10 +50,13 @@ def test_model_spectrogram_matches_torch(rng):
         return_complex=True,
     )
     mag_t = torch.absolute(st)
-    mag_t = (mag_t / torch.max(mag_t)).numpy()
+    mag_t = (mag_t / mag_t.amax(dim=(1, 2), keepdim=True)).numpy()
     mag_j = np.asarray(spectrogram_batch(jnp.asarray(x)))
     assert mag_j.shape == mag_t.shape
     np.testing.assert_allclose(mag_j, mag_t, rtol=1e-3, atol=1e-5)
+    # batch-size invariance of the per-example normalization
+    one = np.asarray(spectrogram_batch(jnp.asarray(x[:1])))
+    np.testing.assert_allclose(one[0], mag_j[0], rtol=1e-6, atol=1e-7)
 
 
 def test_demucs_sinc_resample_matches_torch_conv(rng):
