@@ -116,6 +116,53 @@ def bench_peaks(batch_size: int = 64, seconds: int = 8, sr: int = 8000):
     return results.get("scan", 0.0), results.get("pallas", 0.0)
 
 
+def bench_end_to_end_match(
+    n_tracks: int = 256, batch_size: int = 64, seconds: int = 8, sr: int = 8000
+):
+    """Waveform -> verdict throughput (VERDICT r1 #5): peak extraction +
+    landmark hashing + batched DeviceMatcher against an indexed corpus, the
+    full identification path of testing/audfprint_exps.py."""
+    import jax
+
+    from musicfpaugment_tpu.afp.audfprint import (
+        AudfprintPeaks,
+        DeviceMatcher,
+        HashTable,
+    )
+    from musicfpaugment_tpu.testing.parameters import afp_settings
+
+    rng = np.random.default_rng(3)
+    analyzer = AudfprintPeaks(afp_settings["audfprint"])
+    analyzer.shifts = 1
+    ht = HashTable()
+    t0 = time.perf_counter()
+    for start in range(0, n_tracks, batch_size):
+        names = [f"t{start + i:05d}" for i in range(batch_size)]
+        tracks = rng.standard_normal((batch_size, 12 * sr)).astype(np.float32)
+        analyzer.ingest_batch(ht, names, tracks)
+    log(f"indexed {n_tracks} tracks in {time.perf_counter() - t0:.1f}s "
+        f"({ht.totalhashes()} hashes)")
+
+    dm = DeviceMatcher(ht)
+    queries = rng.standard_normal((batch_size, seconds * sr)).astype(np.float32)
+    t0 = time.perf_counter()
+    hashes_list = analyzer.hashes_batch(queries, shifts=1)
+    _ = dm.match_hashes_batch(hashes_list)
+    log(f"match compile+first batch: {time.perf_counter() - t0:.1f}s")
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        q = rng.standard_normal((batch_size, seconds * sr)).astype(np.float32)
+        hashes_list = analyzer.hashes_batch(q, shifts=1)
+        verdicts = dm.match_hashes_batch(hashes_list)
+    dt = time.perf_counter() - t0
+    qps = batch_size * iters / dt
+    n_match = sum(v[0] == "MATCH" for v in verdicts)
+    log(f"end-to-end waveform->verdict: {qps:.0f} queries/s "
+        f"(batch {batch_size}, {n_match}/{batch_size} MATCH on noise queries)")
+    return qps
+
+
 def bench_torch_reference_step(model_name: str = "unet", sr: int = 8000):
     """Measured reference (torch) train-step baseline on this host (VERDICT
     r1 #7): runs the reference's own UNet/Demucs modules
@@ -250,6 +297,20 @@ def bench_train_step(model_name: str = "unet", batch_size: int = 128, sr: int = 
         f"{model_name} train: {1.0/dt:.2f} steps/s "
         f"({dt*1000:.0f} ms/step, batch {batch_size} x 3s, incl. on-device augment)"
     )
+    try:
+        lowered = trainer._train_step.lower(
+            trainer.state, clean_j, None, jax.random.PRNGKey(0), jnp.float32(1.0)
+        )
+        flops = lowered.compile().cost_analysis()["flops"]
+        achieved = flops / dt
+        log(
+            f"{model_name} step cost: {flops/1e9:.1f} GFLOP -> "
+            f"{achieved/1e12:.2f} TFLOP/s achieved "
+            f"({achieved/197e12*100:.1f}% of v5e bf16 peak, "
+            f"{achieved/98.5e12*100:.1f}% of f32 peak)"
+        )
+    except Exception as e:  # cost analysis is best-effort through the tunnel
+        log(f"{model_name} cost analysis unavailable: {type(e).__name__}")
     return 1.0 / dt
 
 
@@ -274,6 +335,10 @@ def main() -> None:
         bench_peaks()
     except Exception as e:  # secondary metric must not break the headline
         log(f"peaks bench skipped: {e}")
+    try:
+        bench_end_to_end_match()
+    except Exception as e:
+        log(f"end-to-end match bench skipped: {e}")
 
     per_chip_target = 50000 / 8  # north star: 50k/s on v5e-8
     print(

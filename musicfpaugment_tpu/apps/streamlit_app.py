@@ -12,7 +12,6 @@ same batched AugmentFP used everywhere else.)
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import tempfile
@@ -26,8 +25,8 @@ EXAMPLES_DIR = os.environ.get(
 
 
 def load_audio(st):
-    """Example selection / upload (ref: app.py:16-71); wav only (no mp3
-    codec in this environment)."""
+    """Example selection / upload (ref: app.py:16-71); wav + mp3 (mp3 via
+    the native libmpg123 decoder)."""
     from musicfpaugment_tpu.data.audio_io import read_wav, resample
 
     examples = {
@@ -45,18 +44,24 @@ def load_audio(st):
             mono = data.mean(axis=0) if data.shape[0] > 1 else data[0]
             audio_arrays.append(resample(mono, sr, SAMPLE_RATE))
             sample_rates.append(SAMPLE_RATE)
-    files = st.file_uploader("Upload audio", type=["wav"], accept_multiple_files=True)
+    files = st.file_uploader(
+        "Upload audio", type=["wav", "mp3"], accept_multiple_files=True
+    )
     if files:
-        import scipy.io.wavfile
-
         for f in files:
-            st.audio(f, format="wav")
-            sr, data = scipy.io.wavfile.read(io.BytesIO(f.read()))
-            if data.dtype == np.int16:
-                data = data.astype(np.float32) / 32768.0
-            if data.ndim == 2:
-                data = data.mean(axis=1)
-            audio_arrays.append(resample(data.astype(np.float32), sr, SAMPLE_RATE))
+            suffix = os.path.splitext(f.name)[1].lower() or ".wav"
+            st.audio(f, format="audio/mpeg" if suffix == ".mp3" else "wav")
+            # decode through the framework's own dispatch (wav native, mp3
+            # via libmpg123) — the uploader hands us a bytes stream
+            with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tmp:
+                tmp.write(f.read())
+                path = tmp.name
+            try:
+                data, sr = read_wav(path)
+            finally:
+                os.unlink(path)
+            mono = data.mean(axis=0) if data.shape[0] > 1 else data[0]
+            audio_arrays.append(resample(mono, sr, SAMPLE_RATE))
             sample_rates.append(SAMPLE_RATE)
     if not audio_arrays:
         return None, None

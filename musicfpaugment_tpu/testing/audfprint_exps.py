@@ -93,6 +93,7 @@ def compute_accuracy_batched(
     batch_size: int = 64,
     shifts: int = 4,
     use_device_matcher: bool = True,
+    device_matcher=None,
 ) -> Dict[str, float]:
     """Batched counterpart of :func:`compute_accuracy`: query waveforms are
     stacked, peak extraction for the whole batch (x shifts) runs as one XLA
@@ -105,7 +106,10 @@ def compute_accuracy_batched(
 
     hash_tab = dbpath if isinstance(dbpath, HashTable) else HashTable(dbpath)
     if use_device_matcher:
-        device_matcher = DeviceMatcher(hash_tab)
+        # pass a prebuilt DeviceMatcher to reuse its HBM-resident table
+        # across conditions (it is ~420 MB at reference scale)
+        if device_matcher is None:
+            device_matcher = DeviceMatcher(hash_tab)
         match_batch = device_matcher.match_hashes_batch
     else:
         matcher = Matcher()
@@ -202,11 +206,19 @@ def identification_rate_results(
     wave_denoiser=None,
     query_paths: Optional[Dict[str, str]] = None,
     dbpath=None,
+    batched: bool = True,
 ) -> Dict[str, Dict[str, float]]:
-    """ref: audfprint_exps.py:160-185."""
+    """ref: audfprint_exps.py:160-185. ``batched=True`` (default) runs the
+    TPU path — batch peak extraction + one DeviceMatcher whose HBM table is
+    reused across all 11 conditions; ``batched=False`` is the sequential
+    per-file oracle path."""
+    from musicfpaugment_tpu.afp.audfprint import DeviceMatcher
+
     results = {}
     query_paths = query_paths or queries_paths
     dbpath = dbpath if dbpath is not None else afp_db_paths["audfprint"]
+    hash_tab = dbpath if isinstance(dbpath, HashTable) else HashTable(dbpath)
+    device_matcher = DeviceMatcher(hash_tab) if batched else None
     for augmentation, query_path in query_paths.items():
         print("augmentation:", augmentation)
         queries = [
@@ -222,9 +234,15 @@ def identification_rate_results(
             wave_denoiser=wave_denoiser,
         )
         analyzer_den.shifts = 4
-        results[str(augmentation)] = compute_accuracy(
-            queries, dbpath, analyzer_no_den, analyzer_den
-        )
+        if batched:
+            results[str(augmentation)] = compute_accuracy_batched(
+                queries, hash_tab, analyzer_no_den, analyzer_den,
+                device_matcher=device_matcher,
+            )
+        else:
+            results[str(augmentation)] = compute_accuracy(
+                queries, hash_tab, analyzer_no_den, analyzer_den
+            )
         print(results[str(augmentation)])
     os.makedirs(RESULTS_DIR, exist_ok=True)
     with open(
