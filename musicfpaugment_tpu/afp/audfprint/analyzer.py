@@ -14,6 +14,7 @@ Counterpart of ``Audfprint_peaks`` (ref: afp/audfprint/peak_extractor.py:76-
 
 from __future__ import annotations
 
+import functools
 import pickle
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
@@ -98,29 +99,60 @@ class AudfprintPeaks:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key](waveforms)
 
+    def _hashes_from_masks_device(self, masks: jnp.ndarray):
+        """(B, F, C) peak masks -> ((B, max_hashes, 2) int32, (B, max_hashes)
+        bool) via the batched device hasher (landmarks.hashes_from_mask
+        vmapped) — replaces the per-example host pairing loop, the dominant
+        cost of the end-to-end match path."""
+        C = int(masks.shape[-1])
+        # static pads: <= maxpksperframe peaks per column, 3 pairs per peak
+        max_peaks = -(-self.maxpksperframe * C // 128) * 128
+        max_hashes = max_peaks * lm.MAXPAIRSPERPEAK
+        key = ("hashes", masks.shape[1:], max_peaks)
+        if key not in self._jit_cache:
+            fn = functools.partial(
+                lm.hashes_from_masks_batched,
+                max_peaks=max_peaks,
+                max_hashes=max_hashes,
+            )
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](masks)
+
     def hashes_batch(
-        self, waveforms: np.ndarray, shifts: Optional[int] = None
+        self,
+        waveforms: np.ndarray,
+        shifts: Optional[int] = None,
+        device_hashing: bool = True,
     ) -> List[np.ndarray]:
         """(B, T) waveforms -> list of B (N_i, 2) unique (time, hash) arrays.
 
         Shifted analysis (frame-effect reduction, peak_extractor.py:406-415)
         reuses the batch: shift s drops ``int(s / shifts * n_hop)`` leading
-        samples.
+        samples. Peak pairing + hash packing run on device for the whole
+        batch (``device_hashing=False`` restores the host oracle loop);
+        cross-shift dedup stays a cheap host ``np.unique``.
         """
         waveforms = np.asarray(waveforms, np.float32)
         shifts = shifts if shifts is not None else self.shifts
         n_shifts = max(1, shifts)
-        masks = []
+        per_shift = []  # per shift: (B,) list of (N, 2) arrays
         for shift in range(n_shifts):
             shiftsamps = int(shift / n_shifts * self.n_hop)
-            masks.append(np.asarray(self.peaks_batch(waveforms[:, shiftsamps:])))
+            masks = self.peaks_batch(waveforms[:, shiftsamps:])
+            if device_hashing:
+                th, valid = jax.device_get(self._hashes_from_masks_device(masks))
+                per_shift.append([t[v] for t, v in zip(th, valid)])
+            else:
+                m = np.asarray(masks)
+                per_shift.append(
+                    [lm.hashes_from_mask_np(m[b]) for b in range(m.shape[0])]
+                )
         B = waveforms.shape[0]
         out = []
         for b in range(B):
-            hs = [lm.hashes_from_mask_np(m[b]) for m in masks]
-            allh = np.concatenate(hs, axis=0)
+            allh = np.concatenate([s[b] for s in per_shift], axis=0)
             if allh.shape[0] == 0:
-                out.append(allh)
+                out.append(allh.astype(np.int32).reshape(0, 2))
                 continue
             packed = (allh[:, 0].astype(np.uint64) << np.uint64(32)) + allh[
                 :, 1

@@ -91,6 +91,42 @@ def pair_landmarks(
     return landmarks, selected
 
 
+def pair_hashes(
+    cols: Array,
+    bins: Array,
+    valid: Array,
+    window: int = 320,
+    mindt: int = MINDT,
+    targetdt: int = TARGETDT,
+    targetdf: int = TARGETDF,
+    maxpairs: int = MAXPAIRSPERPEAK,
+) -> Tuple[Array, Array, Array]:
+    """Fused pairing + 20-bit hash packing: (times (P, W), hashes (P, W),
+    selected (P, W)). Same selection semantics as :func:`pair_landmarks`, but
+    the (P, W, 4) landmark tensor is never materialized — the hash is
+    computed directly from dt/df (ref: peak_extractor.py:40-58), which
+    matters when this runs vmapped over a query batch."""
+    P = cols.shape[0]
+    offs = jnp.arange(1, window + 1)
+    j = jnp.arange(P)[:, None] + offs[None, :]  # (P, W)
+    in_range = j < P
+    j_safe = jnp.where(in_range, j, P - 1)
+    dt = cols[j_safe] - cols[:, None]
+    df = bins[j_safe] - bins[:, None]
+    ok = (
+        valid[:, None]
+        & (valid[j_safe] & in_range)
+        & (dt >= mindt)
+        & (dt < targetdt)
+        & (jnp.abs(df) < targetdf)
+    )
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=1)
+    selected = ok & (rank <= maxpairs)
+    h = ((bins[:, None] & 255) << 12) | ((df & 63) << 6) | (dt & 63)
+    times = jnp.broadcast_to(cols[:, None], h.shape)
+    return times, h, selected
+
+
 def landmarks_to_hashes(landmarks: Array) -> Array:
     """(..., 4) [col, bin1, bin2, dt] -> (..., 2) [time, 20-bit hash]
     (ref: peak_extractor.py:40-58)."""
@@ -115,8 +151,8 @@ def hashes_from_mask(
     int32 keys instead.
     """
     cols, bins, valid = extract_peaks(mask, max_peaks)
-    landmarks, selected = pair_landmarks(cols, bins, valid, window=window)
-    th = landmarks_to_hashes(landmarks).reshape(-1, 2)
+    times, hashes, selected = pair_hashes(cols, bins, valid, window=window)
+    th = jnp.stack([times.reshape(-1), hashes.reshape(-1)], axis=-1)
     sel = selected.reshape(-1)
     # compress the selected pairs into a fixed-size buffer
     (idx,) = jnp.nonzero(sel, size=max_hashes, fill_value=-1)
@@ -137,6 +173,109 @@ def hashes_from_mask(
     )
     unique = jnp.concatenate([jnp.array([True]), ~same])
     return th, lvalid & unique
+
+
+def _lookahead(x: Array, window: int, fill) -> Array:
+    """(B, P) -> (B, P, W) with out[b, i, w] = x[b, i + 1 + w] (``fill``
+    past the end). Materialized via ``conv_general_dilated_patches`` — a
+    sliding-window copy XLA lowers to efficient strided slices — instead of
+    an integer gather on a (P, W) index grid, which the TPU backend executes
+    as tens of millions of serialized random loads (measured ~25 s/batch in
+    the vmapped hasher; this formulation is milliseconds)."""
+    B, P = x.shape
+    xpad = jnp.concatenate([x, jnp.full((B, window), fill, x.dtype)], axis=1)
+    # values (cols < 2^12, bins < 2^8, bool) are exact in f32 (< 2^24)
+    lhs = xpad[:, None, :].astype(jnp.float32)
+    patches = jax.lax.conv_general_dilated_patches(
+        lhs, filter_shape=(window + 1,), window_strides=(1,), padding="VALID"
+    )  # (B, W+1, P); patches[:, k, i] = xpad[:, i + k]
+    return jnp.transpose(patches[:, 1:, :], (0, 2, 1))
+
+
+def sort_dedup_hashes(
+    times: Array, hashes: Array, valid: Array
+) -> Tuple[Array, Array, Array]:
+    """Per-row (time, hash) ascending sort with invalid rows last, plus a
+    consecutive-duplicate mask (ref dedup: peak_extractor.py:449-460).
+
+    Gather-free: ``lax.sort`` with multiple operands moves the payload
+    through the sorting network directly (an argsort + fancy-index gather
+    executes as serialized random loads on TPU).
+    """
+    big = jnp.iinfo(jnp.int32).max
+    k1 = jnp.where(valid, times, big)
+    k2 = jnp.where(valid, hashes, big)
+    k1, k2, times, hashes, valid = jax.lax.sort(
+        (k1, k2, times, hashes, valid), dimension=-1, num_keys=2
+    )
+    dup = (
+        (times[..., 1:] == times[..., :-1])
+        & (hashes[..., 1:] == hashes[..., :-1])
+        & valid[..., 1:]
+    )
+    pad = jnp.zeros(dup.shape[:-1] + (1,), bool)
+    return times, hashes, valid & ~jnp.concatenate([pad, dup], axis=-1)
+
+
+def hashes_from_masks_batched(
+    masks: Array, max_peaks: int, max_hashes: int, window: int = 320
+) -> Tuple[Array, Array]:
+    """Batched (B, F, C) peak masks -> ((B, max_hashes, 2) int32 sorted
+    deduplicated (time, hash) rows, (B, max_hashes) valid);
+    ``max_hashes`` must be ``max_peaks * MAXPAIRSPERPEAK``.
+
+    Whole-batch formulation of :func:`hashes_from_mask` (same semantics,
+    asserted bit-equal in tests): peak extraction, W-lookahead pairing via
+    sliding-window patches, fanout-cap rank test, hash packing, per-row
+    (time, hash) sort + dedup. TPU-shaped: the fanout cap (<= 3 pairs per
+    peak) compacts the (P, W) candidate grid to (P, 3) with three masked
+    sums — no giant ``nonzero``/gather — and sorting is multi-operand
+    ``lax.sort`` (gather-free).
+    """
+    assert max_hashes == max_peaks * MAXPAIRSPERPEAK
+    B, F, C = masks.shape
+    flat = jnp.reshape(jnp.swapaxes(masks, 1, 2), (B, -1))  # column-major
+
+    def _nz(row):
+        (idx,) = jnp.nonzero(row, size=max_peaks, fill_value=-1)
+        return idx
+
+    idx = jax.vmap(_nz)(flat)  # (B, P)
+    valid = idx >= 0
+    safe = jnp.where(valid, idx, 0)
+    cols = safe // F
+    bins = safe % F
+
+    col_j = _lookahead(cols, window, 0).astype(jnp.int32)  # (B, P, W)
+    bin_j = _lookahead(bins, window, 0).astype(jnp.int32)
+    val_j = _lookahead(valid, window, False) > 0.5
+    dt = col_j - cols[:, :, None]
+    df = bin_j - bins[:, :, None]
+    ok = (
+        valid[:, :, None]
+        & val_j
+        & (dt >= MINDT)
+        & (dt < TARGETDT)
+        & (jnp.abs(df) < TARGETDF)
+    )
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=2)
+    h = ((bins[:, :, None] & 255) << 12) | ((df & 63) << 6) | (dt & 63)
+
+    # compact (P, W) -> (P, MAXPAIRSPERPEAK): the r-th selected candidate of
+    # each peak is extracted with a masked sum (exactly one w matches)
+    h_r, v_r = [], []
+    for r in range(1, MAXPAIRSPERPEAK + 1):
+        hit = ok & (rank == r)
+        h_r.append(jnp.sum(jnp.where(hit, h, 0), axis=2))  # (B, P)
+        v_r.append(jnp.any(hit, axis=2))
+    hashes = jnp.stack(h_r, axis=2).reshape(B, -1)  # (B, P*3)
+    hvalid = jnp.stack(v_r, axis=2).reshape(B, -1)
+    times = jnp.broadcast_to(
+        cols[:, :, None], (B, max_peaks, MAXPAIRSPERPEAK)
+    ).reshape(B, -1)
+
+    times, hashes, hvalid = sort_dedup_hashes(times, hashes, hvalid)
+    return jnp.stack([times, hashes], axis=-1), hvalid
 
 
 def hashes_from_mask_np(mask: np.ndarray) -> np.ndarray:

@@ -135,8 +135,26 @@ def compute_accuracy_batched(
         batch = np.stack([w[:tmin] for w in wavs])
         per_analyzer = []
         for a in analyzers:
-            hashes_list = a.hashes_batch(batch, shifts=shifts)
-            per_analyzer.append(match_batch(hashes_list))
+            if device_matcher is not None:
+                # fused single-program path: waveform -> verdict on device
+                w = batch
+                if a.denoising and a.denoising_model == "demucs":
+                    w = np.asarray(a.wave_denoiser(w))
+                per_analyzer.append(
+                    device_matcher.match_waveforms(
+                        w,
+                        shifts=shifts,
+                        density=a.density,
+                        n_fft=a.n_fft,
+                        n_hop=a.n_hop,
+                        f_sd=a.f_sd,
+                        maxpksperframe=a.maxpksperframe,
+                        denoiser=a._spec_hook(),
+                    )
+                )
+            else:
+                hashes_list = a.hashes_batch(batch, shifts=shifts)
+                per_analyzer.append(match_batch(hashes_list))
         for qi, gt in enumerate(gts):
             n += 1
             preds = []

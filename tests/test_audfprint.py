@@ -365,3 +365,18 @@ def test_pallas_prune_matches_scan(rng):
         backward_prune_pallas(xj, jnp.asarray(ref_f), a_dec, 30.0, 5, interpret=True)
     )
     assert (ref_b == pal_b).mean() > 0.9999
+
+
+def test_hashes_batch_device_matches_host(rng):
+    """The vmapped device hasher must be bit-identical to the host oracle
+    loop, including shift merging (analyzer.hashes_batch paths)."""
+    from musicfpaugment_tpu.afp.audfprint import AudfprintPeaks
+    from musicfpaugment_tpu.testing.parameters import afp_settings
+
+    a = AudfprintPeaks(afp_settings["audfprint"])
+    wavs = rng.standard_normal((3, 2 * 8000)).astype(np.float32)
+    dev = a.hashes_batch(wavs, shifts=2, device_hashing=True)
+    host = a.hashes_batch(wavs, shifts=2, device_hashing=False)
+    for d, h in zip(dev, host):
+        np.testing.assert_array_equal(d, h)
+    assert all(len(d) > 50 for d in dev)

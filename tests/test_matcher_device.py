@@ -105,3 +105,31 @@ def test_device_matcher_refresh(corpus):
     q[:, 0] -= 10
     (status, name, count) = dm.match_hashes_batch([q])[0]
     assert status == "MATCH" and name == "late_track"
+
+
+def test_match_waveforms_fused_equals_staged(corpus):
+    """The single-program waveform->verdict path must agree with the staged
+    peaks->hashes->match path (identical hashing + matching semantics)."""
+    import jax
+
+    from musicfpaugment_tpu.afp.audfprint import AudfprintPeaks, HashTable
+    from musicfpaugment_tpu.testing.parameters import afp_settings
+
+    rng = np.random.default_rng(11)
+    analyzer = AudfprintPeaks(afp_settings["audfprint"])
+    tracks = rng.standard_normal((6, 6 * 8000)).astype(np.float32)
+    ht = HashTable()
+    analyzer.ingest_batch(ht, [f"w{i}" for i in range(6)], tracks)
+    dm = DeviceMatcher(ht)
+
+    queries = np.stack(
+        [tracks[i % 6, 8000 : 8000 + 2 * 8000] for i in range(4)]
+    )
+    for shifts in (1, 2):
+        staged = dm.match_hashes_batch(
+            analyzer.hashes_batch(queries, shifts=shifts)
+        )
+        fused = dm.match_waveforms(queries, shifts=shifts)
+        assert fused == staged, (shifts, fused, staged)
+    # 2 s crops of noise tracks: most, but not necessarily all, match
+    assert sum(v[0] == "MATCH" for v in fused) >= 1
