@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from musicfpaugment_tpu import augment
 from musicfpaugment_tpu.afp.audfprint import AudfprintPeaks, HashTable
 from musicfpaugment_tpu.data.synthetic import synthetic_clean_batches
-from musicfpaugment_tpu.models import UNet
+from musicfpaugment_tpu.models import Demucs, UNet
 from musicfpaugment_tpu.testing.audfprint_exps import (
     compute_accuracy_batched,
     compute_peaks_metrics,
@@ -61,6 +61,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--queries", type=int, default=48)
     ap.add_argument("--conditions", nargs="*", default=["bn_0", "full_hard", "reverb"])
+    ap.add_argument("--model", choices=["unet", "demucs"], default="unet")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "demo_out"))
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -73,20 +74,28 @@ def main() -> None:
     )
     augmenter = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
 
-    # 2. UNet training (full-size model, on-device augmentation) ------------
-    print("== training UNet ==", flush=True)
+    # 2. denoiser training (full-size model, on-device augmentation) --------
+    # ref trains both families (training/train.py --model=unet|demucs); the
+    # UNet denoises magnitude spectrograms, Demucs raw waveforms
+    print(f"== training {args.model} ==", flush=True)
     t0 = time.time()
+    if args.model == "unet":
+        model = UNet(1, 1, rate=0.05)
+        input_type, lr = "spec", 1e-3
+    else:
+        model = Demucs()
+        input_type, lr = "audio", 5e-4
     with tempfile.TemporaryDirectory() as ckpt:
         trainer = Trainer(
-            model=UNet(1, 1, rate=0.05),
+            model=model,
             train_iter=synthetic_clean_batches(args.batch, 3 * SR, SR, seed=11),
             train_steps=args.steps,
             val_iter=synthetic_clean_batches(args.batch, 3 * SR, SR, seed=12),
             val_steps=4,
-            learning_rate=1e-3,
+            learning_rate=lr,
             nb_epochs=args.epochs + 1,
             checkpoint=ckpt,
-            input_type="spec",
+            input_type=input_type,
             augmenter=augmenter,
             example_batch=next(synthetic_clean_batches(args.batch, 3 * SR, SR)),
         )
@@ -99,13 +108,27 @@ def main() -> None:
     losses = [h["val"]["loss"] for h in history]
     print(f"train {train_time:.0f}s; val loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 
-    model = UNet(1, 1, rate=0.05)
-    variables = {"params": params, "batch_stats": batch_stats}
+    if args.model == "unet":
+        variables = {"params": params, "batch_stats": batch_stats}
 
-    def unet_denoiser(sgram):
-        """Spectrogram denoiser hook for the AFP frontends — (B, F, C)
-        layout, same as the training frontend (spectrogram_batch)."""
-        return model.apply(variables, sgram, train=False)
+        def unet_denoiser(sgram):
+            """Spectrogram denoiser hook for the AFP frontends — (B, F, C)
+            layout, same as the training frontend (spectrogram_batch)."""
+            return model.apply(variables, sgram, train=False)
+
+        denoiser_kwargs = dict(
+            denoising=True, denoising_model="unet", spec_denoiser=unet_denoiser
+        )
+    else:
+        demucs_vars = {"params": params}
+
+        def demucs_denoiser(wavs):
+            """Waveform denoiser hook (ref: peak_extractor.py:369-377)."""
+            return model.apply(demucs_vars, wavs)
+
+        denoiser_kwargs = dict(
+            denoising=True, denoising_model="demucs", wave_denoiser=demucs_denoiser
+        )
 
     # 3. queries -------------------------------------------------------------
     print("== generating queries ==", flush=True)
@@ -146,11 +169,12 @@ def main() -> None:
     # 5. eval -------------------------------------------------------------------
     print("== evaluating ==", flush=True)
     a_plain = AudfprintPeaks(afp_settings["audfprint"])
-    a_den = AudfprintPeaks(
-        afp_settings["audfprint"], denoising=True, denoising_model="unet",
-        spec_denoiser=unet_denoiser,
-    )
-    results = {"train_val_loss": losses, "train_seconds": train_time}
+    a_den = AudfprintPeaks(afp_settings["audfprint"], **denoiser_kwargs)
+    results = {
+        "model": args.model,
+        "train_val_loss": losses,
+        "train_seconds": train_time,
+    }
     for cond, path in query_paths.items():
         files = [os.path.join(path, q) for q in sorted(os.listdir(path))]
         # ground truth = leading track id in the filename
@@ -167,9 +191,10 @@ def main() -> None:
                   round(pm["f1_den"], 3), flush=True)
 
     results["total_seconds"] = time.time() - t_all
-    with open(os.path.join(args.out, "results.json"), "w") as f:
+    name = "results.json" if args.model == "unet" else f"results_{args.model}.json"
+    with open(os.path.join(args.out, name), "w") as f:
         json.dump(results, f, indent=2, default=float)
-    print(f"== done in {results['total_seconds']:.0f}s -> {args.out}/results.json ==")
+    print(f"== done in {results['total_seconds']:.0f}s -> {args.out}/{name} ==")
 
 
 if __name__ == "__main__":

@@ -7,14 +7,16 @@ per-hash Python loop (ref: hash_table.py:220-246).
 
 TPU-native design — the whole batch of queries is matched by ONE XLA program:
 
-* the 2^20 x depth hash table lives in HBM (~420 MB at reference sizes);
-  hits for all queries are one gather ``table[q_hashes]`` -> (B, H, depth);
-* per-id raw counts are a scatter-add into a (B, num_ids) array — the
-  reference's ``np.bincount(allids)``;
+* the 2^20-bucket hash table lives in HBM, sliced to its *effective* depth
+  (deepest bucket in use; the configured depth is 100); hits for all queries
+  are one gather ``table[q_hashes]`` -> (B, H, depth);
+* per-id raw counts and per-candidate offset histograms are sort +
+  run-length + unique-index-scatter bincounts (``_bincount_rows`` — a
+  colliding scatter-add serializes on TPU), matching the reference's
+  ``np.bincount`` semantics;
 * candidate selection is ``top_k`` over hashesperid-weighted counts, gated on
-  ``rawcount > threshcount`` (ref: ``_best_count_ids``, audfprint_match.py:102-129);
-* per-candidate time-offset histograms are a second scatter-add into
-  (B, C, T) with ``T = maxtime + max_query_frames``;
+  ``rawcount > threshcount`` (ref: ``_best_count_ids``, audfprint_match.py:102-129),
+  and hits are assigned to candidates by broadcast equality (C is small);
 * mode extraction: the reference's iterative argmax/zero-out loop reduces,
   for the top-1 verdict, to "max over qualifying local maxima of the
   windowed count" — local-max mask + cumsum window + max, no loop

@@ -133,3 +133,30 @@ def test_match_waveforms_fused_equals_staged(corpus):
         assert fused == staged, (shifts, fused, staged)
     # 2 s crops of noise tracks: most, but not necessarily all, match
     assert sum(v[0] == "MATCH" for v in fused) >= 1
+
+
+def test_bincount_rows_matches_numpy():
+    from musicfpaugment_tpu.afp.audfprint.matcher_device import _bincount_rows
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 40, size=(5, 333)).astype(np.int32)
+    vals[0, :10] = 39  # heavy collisions
+    vals[1] = 7  # single value everywhere
+    vals[2, ::3] = 50  # out-of-range -> dropped
+    got = np.asarray(_bincount_rows(vals, 40))
+    for b in range(5):
+        keep = vals[b] < 40
+        want = np.bincount(vals[b][keep], minlength=40)
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_sort_dedup_hashes_semantics():
+    from musicfpaugment_tpu.afp.audfprint.landmarks import sort_dedup_hashes
+
+    t = np.array([[5, 1, 5, 1, 9, 1]], np.int32)
+    h = np.array([[2, 7, 2, 7, 0, 3]], np.int32)
+    v = np.array([[True, True, True, False, True, True]])
+    ts, hs, vs = (np.asarray(x) for x in sort_dedup_hashes(t, h, v))
+    rows = [(int(a), int(b)) for a, b, k in zip(ts[0], hs[0], vs[0]) if k]
+    # (1,7) kept once, invalid (1,7) dropped, (5,2) deduped, order ascending
+    assert rows == [(1, 3), (1, 7), (5, 2), (9, 0)]
