@@ -246,9 +246,14 @@ def bench_torch_reference_step(model_name: str = "unet", sr: int = 8000):
     return 1.0 / dt128
 
 
-def bench_train_step(model_name: str = "unet", batch_size: int = 128, sr: int = 8000):
+def bench_train_step(
+    model_name: str = "unet", batch_size: int = 128, sr: int = 8000,
+    bf16: bool = False,
+):
     """Full training-step rate at the reference config (batch 128 x 3 s,
-    training/parameters.py:15-28) including on-device augmentation."""
+    training/parameters.py:15-28) including on-device augmentation.
+    ``bf16=True`` benches the mixed-precision UNet (bf16 compute, f32
+    params/output — models/unet.py dtype option)."""
     import jax
     import jax.numpy as jnp
 
@@ -265,11 +270,13 @@ def bench_train_step(model_name: str = "unet", batch_size: int = 128, sr: int = 
     )
     augmenter = augment.AugmentFP(noise_bank, sr, impulse_response_dir=ir_bank)
     if model_name == "unet":
-        model = UNet(1, 1, rate=0.05)
+        model = UNet(1, 1, rate=0.05, dtype=jnp.bfloat16 if bf16 else None)
         input_type = "spec"
     else:
         model = Demucs()
         input_type = "audio"
+    if bf16:
+        model_name = model_name + "-bf16"
     clean = next(synthetic_clean_batches(batch_size, n, sr))
     clean_j = jnp.asarray(clean)
     _ = float(jnp.sum(clean_j))
@@ -339,6 +346,10 @@ def main() -> None:
             )
         except Exception as e:
             log(f"{model_name} torch baseline skipped: {e}")
+    try:
+        bench_train_step("unet", bf16=True)
+    except Exception as e:
+        log(f"unet bf16 bench skipped: {e}")
     try:
         bench_peaks()
     except Exception as e:  # secondary metric must not break the headline
