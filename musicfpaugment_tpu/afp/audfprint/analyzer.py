@@ -26,7 +26,6 @@ from musicfpaugment_tpu.afp.audfprint import landmarks as lm
 from musicfpaugment_tpu.afp.audfprint.hash_table import HashTable
 from musicfpaugment_tpu.afp.audfprint.peaks import (
     find_peaks_batch,
-    log_hpf_frontend,
     spectrogram_frontend,
 )
 from musicfpaugment_tpu.data.audio_io import read_wav, resample

@@ -34,7 +34,7 @@ the oracle; parity is asserted in tests/test_matcher_device.py.
 from __future__ import annotations
 
 import functools
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

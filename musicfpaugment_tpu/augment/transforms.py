@@ -39,7 +39,6 @@ from musicfpaugment_tpu.core.noise import batch_colored_noise
 from musicfpaugment_tpu.core.utils import (
     calculate_rms,
     convert_decibels_to_amplitude_ratio,
-    convert_frequencies_to_mels,
     convert_mels_to_frequencies,
 )
 

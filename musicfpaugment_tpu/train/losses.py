@@ -11,7 +11,7 @@ reflect-pad centering, magnitude clamped at 1e-7.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -24,12 +24,10 @@ exactly ``steps`` steps and averages by ``steps``.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time
-from functools import partial
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +38,7 @@ from flax.core import FrozenDict
 
 from musicfpaugment_tpu.augment.pipeline import AugmentFP
 from musicfpaugment_tpu.core.stft import stft as _stft
-from musicfpaugment_tpu.models import Demucs, UNet, rescale_params
+from musicfpaugment_tpu.models import Demucs, rescale_params
 from musicfpaugment_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
