@@ -28,56 +28,71 @@ from musicfpaugment_tpu.train.parameters import (
 JAMENDO_ROOT = os.environ.get("MFPA_JAMENDO_ROOT", "/workspace/mtg-jamendo-dataset/")
 
 
+TAG_CATEGORIES = ("genre", "instrument", "mood/theme")
+
+
+def _numeric_id(field: str) -> int:
+    """'track_0001234' / 'artist_42' -> the numeric part."""
+    return int(field.split("_")[1])
+
+
+# API-parity alias (the reference names this get_id, jamendo.py:24-26)
+get_id = _numeric_id
+
+
 def get_length(values: Any) -> int:
+    """Digits of the widest id (ref: jamendo.py:29-31)."""
     return len(str(max(values)))
 
 
-def get_id(value: str) -> int:
-    return int(value.split("_")[1])
+def _parse_row(row) -> Tuple[int, Dict[str, Any]]:
+    """One autotagging TSV row -> (track_id, metadata dict). The dict keys
+    match the reference's consumer contract (jamendo.py:48-74): numeric
+    artist/album ids, relative audio path, duration, raw tag strings, and a
+    per-category set of tag names."""
+    meta: Dict[str, Any] = {
+        "artist_id": _numeric_id(row[1]),
+        "album_id": _numeric_id(row[2]),
+        "path": row[3],
+        "duration": float(row[4]),
+        "tags": row[5:],
+    }
+    for category in TAG_CATEGORIES:
+        meta[category] = set()
+    for tag_str in row[5:]:
+        category, tag = tag_str.split("---")
+        meta.setdefault(category, set()).update(tag.split(","))
+    return _numeric_id(row[0]), meta
 
 
 def read_file(
     tsv_file: str,
 ) -> Tuple[Dict[int, Dict[str, Any]], DefaultDict[Any, Dict[Any, Any]], Dict[str, int]]:
-    """Parse an MTG-Jamendo autotagging TSV (ref: jamendo.py:34-87)."""
+    """Parse an MTG-Jamendo autotagging TSV into (tracks, tag index, id-width
+    info) — same outputs as the reference's reader (ref: jamendo.py:34-87);
+    iteration order of ``tracks`` is TSV row order (split semantics depend on
+    it)."""
     tracks: Dict[int, Dict[str, Any]] = {}
     tags: DefaultDict[Any, Dict[Any, Any]] = defaultdict(dict)
-    artist_ids = set()
-    albums_ids = set()
     with open(tsv_file) as fp:
-        reader = csv.reader(fp, delimiter="\t")
-        next(reader, None)
-        for row in reader:
-            track_id = get_id(row[0])
-            tracks[track_id] = {
-                "artist_id": get_id(row[1]),
-                "album_id": get_id(row[2]),
-                "path": row[3],
-                "duration": float(row[4]),
-                "tags": row[5:],
-            }
-            tracks[track_id].update(
-                {c: set() for c in ["genre", "instrument", "mood/theme"]}
-            )
-            artist_ids.add(get_id(row[1]))
-            albums_ids.add(get_id(row[2]))
-            for tag_str in row[5:]:
+        rows = csv.reader(fp, delimiter="\t")
+        next(rows, None)  # header
+        for row in rows:
+            track_id, meta = _parse_row(row)
+            tracks[track_id] = meta
+            for tag_str in meta["tags"]:
                 category, tag = tag_str.split("---")
-                if tag not in tags[category]:
-                    tags[category][tag] = set()
-                tags[category][tag].add(track_id)
-                if category not in tracks[track_id]:
-                    tracks[track_id][category] = set()
-                tracks[track_id][category].update(set(tag.split(",")))
+                tags[category].setdefault(tag, set()).add(track_id)
+    artist_ids = {m["artist_id"] for m in tracks.values()}
+    album_ids = {m["album_id"] for m in tracks.values()}
     print(
-        "Reading: {} tracks, {} albums, {} artists".format(
-            len(tracks), len(albums_ids), len(artist_ids)
-        )
+        f"Reading: {len(tracks)} tracks, {len(album_ids)} albums, "
+        f"{len(artist_ids)} artists"
     )
     extra = {
         "track_id_length": get_length(tracks.keys()),
         "artist_id_length": get_length(artist_ids),
-        "album_id_length": get_length(albums_ids),
+        "album_id_length": get_length(album_ids),
     }
     return tracks, tags, extra
 
@@ -85,32 +100,30 @@ def read_file(
 def get_jamendo_data(
     dataset_path: str, num_val: int
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Train/val path arrays (ref: jamendo.py:90-126)."""
-    train_split, _, _ = read_file(
-        dataset_path + "data/splits/split-0/autotagging-train.tsv"
-    )
-    val_split, _, _ = read_file(
-        dataset_path + "data/splits/split-0/autotagging-validation.tsv"
-    )
-    test_split, _, _ = read_file(
-        dataset_path + "data/splits/split-0/autotagging-test.tsv"
-    )
-    train_ids = list(train_split.keys())
-    val_ids = list(val_split.keys())
-    test_ids = list(test_split.keys())
+    """Train/val audio-path arrays with the reference's fold-in semantics
+    (ref: jamendo.py:90-126): validation = the first ``num_val`` seed-4
+    shuffled validation-split ids; the remaining validation ids and the whole
+    test split fold into training."""
+
+    def split_paths(name: str) -> Dict[int, str]:
+        tracks, _, _ = read_file(
+            os.path.join(dataset_path, "data", "splits", "split-0", name)
+        )
+        audio_root = os.path.join(dataset_path, "raw_30s", "audio")
+        return {tid: os.path.join(audio_root, m["path"]) for tid, m in tracks.items()}
+
+    train = split_paths("autotagging-train.tsv")
+    val = split_paths("autotagging-validation.tsv")
+    test = split_paths("autotagging-test.tsv")
+
+    val_ids = list(val.keys())
     random.Random(4).shuffle(val_ids)
-    audio_path = dataset_path + "raw_30s/audio/"
-    train_paths = []
-    val_paths = []
-    for key in train_ids:
-        train_paths.append(audio_path + train_split[key]["path"])
-    for idx, key in enumerate(val_ids):
-        if idx < num_val:
-            val_paths.append(audio_path + val_split[key]["path"])
-        else:
-            train_paths.append(audio_path + val_split[key]["path"])
-    for key in test_ids:
-        train_paths.append(audio_path + test_split[key]["path"])
+    val_paths = [val[tid] for tid in val_ids[:num_val]]
+    train_paths = (
+        list(train.values())
+        + [val[tid] for tid in val_ids[num_val:]]
+        + list(test.values())
+    )
     return np.array(train_paths), np.array(val_paths)
 
 
