@@ -12,17 +12,23 @@ we must switch platforms through ``jax.config`` instead.
 
 import os
 
+# MFPA_TEST_TPU=1 leaves the real accelerator in place so the TPU-gated
+# tests (tests/test_pallas_tpu.py) actually compile on hardware:
+#   MFPA_TEST_TPU=1 python -m pytest tests/test_pallas_tpu.py -q
+_use_tpu = os.environ.get("MFPA_TEST_TPU") == "1"
+
 # XLA_FLAGS is only consumed at (lazy) backend initialization, which has not
 # happened yet at conftest-import time, so this still takes effect.
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if not _use_tpu and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _use_tpu:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: this image has a single CPU core, so XLA
 # compile time dominates the suite — cached executables make re-runs fast.
