@@ -34,7 +34,7 @@ the oracle; parity is asserted in tests/test_matcher_device.py.
 from __future__ import annotations
 
 import functools
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +99,7 @@ def _match_impl(
     threshcount: int,
     maxtimebits: int,
     max_query_frames: int,
+    max_store_time: Optional[int] = None,
 ):
     """qtimes/qhashes/qvalid: (B, H). Returns (best_id, best_count,
     best_mode) per query; best_id == -1 means NOMATCH.
@@ -112,7 +113,7 @@ def _match_impl(
     B, H = qhashes.shape
     D = depth
     C = max_candidates
-    T = (1 << maxtimebits) + max_query_frames
+    T = (max_store_time or (1 << maxtimebits)) + max_query_frames
     timemask = (1 << maxtimebits) - 1
 
     tab = table[qhashes]  # (B, H, D) uint32
@@ -203,8 +204,19 @@ class DeviceMatcher:
         most of the fixed-depth table empty."""
         counts_clipped = np.minimum(self.ht.counts, self.ht.depth).astype(np.int32)
         self.eff_depth = int(max(1, counts_clipped.max())) if counts_clipped.size else 1
-        self._table = jnp.asarray(self.ht.table[:, : self.eff_depth])
+        table_slice = self.ht.table[:, : self.eff_depth]
+        self._table = jnp.asarray(table_slice)
         self._counts = jnp.asarray(counts_clipped)
+        # effective time range: the offset histograms span
+        # [-max_query_frames, max_track_time]; sizing them to the deepest
+        # *stored* frame index instead of the full 2^maxtimebits cuts the
+        # (B, C, T) histogram/local-max/cumsum passes by the corpus's
+        # track-length ratio (e.g. 18x for 30 s tracks under maxtime 16384)
+        timemask = (1 << self.maxtimebits) - 1
+        used = np.arange(self.eff_depth)[None, :] < counts_clipped[:, None]
+        stored_times = (table_slice & np.uint32(timemask))[used]
+        max_time = int(stored_times.max()) if stored_times.size else 0
+        self.eff_maxtime = -(-(max_time + 1) // 128) * 128
         hpi = np.maximum(np.asarray(self.ht.hashesperid, np.float32), 1.0)
         self.num_ids = max(len(self.ht.names), 1)
         self._hashesperid = jnp.asarray(
@@ -220,6 +232,7 @@ class DeviceMatcher:
                 threshcount=self.threshcount,
                 maxtimebits=self.maxtimebits,
                 max_query_frames=self.max_query_frames,
+                max_store_time=self.eff_maxtime,
             )
         )
 
@@ -258,7 +271,7 @@ class DeviceMatcher:
         B, T = waveforms.shape
         cache_key = ("e2e", T, shifts, density, n_fft, n_hop, f_sd,
                      maxpksperframe, max_query_hashes, self.num_ids,
-                     self.eff_depth,
+                     self.eff_depth, self.eff_maxtime,
                      None if denoiser is None else id(denoiser))
         if not hasattr(self, "_e2e_cache"):
             self._e2e_cache = {}
@@ -271,6 +284,7 @@ class DeviceMatcher:
                 threshcount=self.threshcount,
                 maxtimebits=self.maxtimebits,
                 max_query_frames=self.max_query_frames,
+                max_store_time=self.eff_maxtime,
             )
 
             def prog(table, counts, hashesperid, wavs):
