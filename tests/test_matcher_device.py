@@ -160,3 +160,21 @@ def test_sort_dedup_hashes_semantics():
     rows = [(int(a), int(b)) for a, b, k in zip(ts[0], hs[0], vs[0]) if k]
     # (1,7) kept once, invalid (1,7) dropped, (5,2) deduped, order ascending
     assert rows == [(1, 3), (1, 7), (5, 2), (9, 0)]
+
+
+def test_eff_maxtime_covers_high_time_indices():
+    """Histogram slicing (eff_maxtime) must still match tracks stored near
+    the top of the 2^14 frame range (regression guard for the time-range
+    optimization)."""
+    ht = HashTable()
+    t0 = 16000  # near maxtime 16384
+    times = np.arange(t0, t0 + 300, dtype=np.int64)
+    hashes = (np.arange(300, dtype=np.int64) * 2654435761) % (2**20)
+    ht.store("late_in_time", np.stack([times, hashes], axis=1))
+    dm = DeviceMatcher(ht)
+    assert dm.eff_maxtime >= t0 + 300
+    q = np.stack([np.arange(50, dtype=np.int64),
+                  hashes[120:170]], axis=1)
+    status, name, count = dm.match_hashes_batch([q])[0]
+    assert status == "MATCH" and name == "late_in_time"
+    assert count >= 40

@@ -234,3 +234,23 @@ def test_media_monitoring_writes_tb_events(tmp_path):
     assert any("tfevents" in f for f in files)
     size = sum(os.path.getsize(os.path.join(tb_dir, f)) for f in files)
     assert size > 2000  # image summaries are KBs; scalars alone are ~100B
+
+
+@pytest.mark.slow
+def test_resume_preserves_val_target(tmp_path):
+    """Checkpoint-resume restores scheduler/early-stop state, and the cached
+    validation set + fixed keys make the restored model's val loss identical
+    to the pre-save value (the plateau target survives restarts)."""
+    trainer = _make_trainer(
+        tmp_path, UNet(1, 1, rate=0.05, base=8), "spec", save=True, steps=1
+    )
+    trainer.nb_epochs = 3
+    trainer.training_loop()
+    v_before, _ = trainer.validation_epoch()
+
+    resumed = _make_trainer(
+        tmp_path, UNet(1, 1, rate=0.05, base=8), "spec", save=True, steps=1
+    )
+    assert resumed.epoch_start > 1  # picked up last_epoch
+    v_after, _ = resumed.validation_epoch()
+    assert v_after["loss"] == pytest.approx(v_before["loss"], rel=1e-6)
