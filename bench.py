@@ -329,8 +329,26 @@ def bench_train_step(
     return 1.0 / dt
 
 
+def _headline(clips_per_sec: float) -> str:
+    per_chip_target = 50000 / 8  # north star: 50k/s on v5e-8
+    return json.dumps(
+        {
+            "metric": "augmented 8s@8kHz clips/sec/chip",
+            "value": round(clips_per_sec, 1),
+            "unit": "clips/s",
+            "vs_baseline": round(clips_per_sec / per_chip_target, 3),
+        }
+    )
+
+
 def main() -> None:
     clips_per_sec = bench_augment()
+    # Emit the headline immediately: the remote-TPU compile path is
+    # intermittently slow/wedged in this image, and the secondary sections
+    # below involve several large compiles — if one stalls past the harness
+    # timeout, the headline measurement must already be on stdout. The same
+    # line is re-emitted at the end for tail parsers.
+    print(_headline(clips_per_sec), flush=True)
     for model_name in ("unet", "demucs"):
         try:
             tpu_rate = bench_train_step(model_name)
@@ -358,18 +376,7 @@ def main() -> None:
         bench_end_to_end_match()
     except Exception as e:
         log(f"end-to-end match bench skipped: {e}")
-
-    per_chip_target = 50000 / 8  # north star: 50k/s on v5e-8
-    print(
-        json.dumps(
-            {
-                "metric": "augmented 8s@8kHz clips/sec/chip",
-                "value": round(clips_per_sec, 1),
-                "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / per_chip_target, 3),
-            }
-        )
-    )
+    print(_headline(clips_per_sec), flush=True)
 
 
 if __name__ == "__main__":
