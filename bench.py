@@ -117,11 +117,15 @@ def bench_peaks(batch_size: int = 64, seconds: int = 8, sr: int = 8000):
 
 
 def bench_end_to_end_match(
-    n_tracks: int = 256, batch_size: int = 64, seconds: int = 8, sr: int = 8000
+    n_tracks: int = 256, batch_size: int = 128, seconds: int = 8, sr: int = 8000
 ):
     """Waveform -> verdict throughput (VERDICT r1 #5): peak extraction +
     landmark hashing + batched DeviceMatcher against an indexed corpus, the
-    full identification path of testing/audfprint_exps.py."""
+    full identification path of testing/audfprint_exps.py.
+
+    Batch sweep on one chip (r2): 196 q/s @ B=64, 319 q/s @ B=128,
+    188 q/s @ B=256 (the (B, hits, candidates) intermediates spill past
+    B=128) — 128 is the production default."""
     import jax
 
     from musicfpaugment_tpu.afp.audfprint import (

@@ -90,7 +90,7 @@ def compute_accuracy_batched(
     dbpath,
     analyzer1: AudfprintPeaks,
     analyzer2: Optional[AudfprintPeaks] = None,
-    batch_size: int = 64,
+    batch_size: int = 128,  # measured optimum for the fused matcher (bench r2)
     shifts: int = 4,
     use_device_matcher: bool = True,
     device_matcher=None,
