@@ -136,12 +136,17 @@ def _match_impl(
     cand_sent = jnp.where(cand_ok, cand, -1_000_000)
 
     # rank of each hit's id within the query's candidate list. C is small
-    # (<= search-depth), so a broadcast equality beats a binary search —
+    # (<= search-depth), so per-candidate equality beats a binary search —
     # vmapped searchsorted is log2(C) rounds of random gathers, which the
-    # TPU backend serializes (measured ~250 ms for 3.7M hits).
-    eq = flat_ids[:, :, None] == cand_sent[:, None, :]  # (B, H*D, C)
-    is_cand = jnp.any(eq, axis=-1)
-    rank = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # candidate ids unique
+    # TPU backend serializes (measured ~250 ms for 3.7M hits). The C
+    # comparisons are accumulated in an unrolled loop so no (B, H*D, C)
+    # tensor is materialized (it spills HBM past batch 128).
+    is_cand = jnp.zeros(flat_ids.shape, bool)
+    rank = jnp.zeros(flat_ids.shape, jnp.int32)
+    for c in range(C):  # candidate ids are unique per query
+        m = flat_ids == cand_sent[:, c][:, None]
+        is_cand = is_cand | m
+        rank = jnp.where(m, c, rank)
 
     # per-candidate time-offset histograms into (B, C, T)
     dtq = dts.reshape(B, H * D) + max_query_frames
