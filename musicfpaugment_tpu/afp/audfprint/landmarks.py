@@ -245,31 +245,73 @@ def hashes_from_masks_batched(
     safe = jnp.where(valid, idx, 0)
     cols = safe // F
     bins = safe % F
+    P = max_peaks
 
-    col_j = _lookahead(cols, window, 0).astype(jnp.int32)  # (B, P, W)
-    bin_j = _lookahead(bins, window, 0).astype(jnp.int32)
-    val_j = _lookahead(valid, window, False) > 0.5
-    dt = col_j - cols[:, :, None]
-    df = bin_j - bins[:, :, None]
-    ok = (
-        valid[:, :, None]
-        & val_j
-        & (dt >= MINDT)
-        & (dt < TARGETDT)
-        & (jnp.abs(df) < TARGETDF)
+    # The W-lookahead pairing grid is processed in chunks of Wc offsets via a
+    # scan with a carried per-peak pair count: live buffers are (B, P, Wc)
+    # instead of (B, P, W) (~W/Wc x less HBM — the full grid is the first
+    # thing to spill at large batch), while the global fanout-cap rank stays
+    # exact because the carry threads the running count across chunks.
+    Wc = 64
+    n_chunks = -(-window // Wc)
+    wpad = n_chunks * Wc
+    cols_pad = jnp.concatenate([cols, jnp.zeros((B, wpad), cols.dtype)], axis=1)
+    bins_pad = jnp.concatenate([bins, jnp.zeros((B, wpad), bins.dtype)], axis=1)
+    valid_pad = jnp.concatenate(
+        [valid, jnp.zeros((B, wpad), valid.dtype)], axis=1
     )
-    rank = jnp.cumsum(ok.astype(jnp.int32), axis=2)
-    h = ((bins[:, :, None] & 255) << 12) | ((df & 63) << 6) | (dt & 63)
 
-    # compact (P, W) -> (P, MAXPAIRSPERPEAK): the r-th selected candidate of
-    # each peak is extracted with a masked sum (exactly one w matches)
-    h_r, v_r = [], []
-    for r in range(1, MAXPAIRSPERPEAK + 1):
-        hit = ok & (rank == r)
-        h_r.append(jnp.sum(jnp.where(hit, h, 0), axis=2))  # (B, P)
-        v_r.append(jnp.any(hit, axis=2))
-    hashes = jnp.stack(h_r, axis=2).reshape(B, -1)  # (B, P*3)
-    hvalid = jnp.stack(v_r, axis=2).reshape(B, -1)
+    def _chunk_lookahead(xpad, base):
+        """(B, P + wpad) -> (B, P, Wc) with [b, i, w] = xpad[b, i + base + w],
+        via strided patches (gather-free)."""
+        seg = jax.lax.dynamic_slice_in_dim(xpad, base, P + Wc - 1, axis=1)
+        lhs = seg[:, None, :].astype(jnp.float32)
+        patches = jax.lax.conv_general_dilated_patches(
+            lhs, filter_shape=(Wc,), window_strides=(1,), padding="VALID"
+        )  # (B, Wc, P)
+        return jnp.transpose(patches, (0, 2, 1))
+
+    def step(carry, base):
+        count, h_acc, v_acc = carry
+        col_j = _chunk_lookahead(cols_pad, base + 1).astype(jnp.int32)
+        bin_j = _chunk_lookahead(bins_pad, base + 1).astype(jnp.int32)
+        val_j = _chunk_lookahead(valid_pad, base + 1) > 0.5
+        # offsets beyond `window` in the padded final chunk must not pair
+        offs = base + 1 + jnp.arange(Wc)
+        in_window = offs <= window
+        dt = col_j - cols[:, :, None]
+        df = bin_j - bins[:, :, None]
+        ok = (
+            valid[:, :, None]
+            & val_j
+            & in_window[None, None, :]
+            & (dt >= MINDT)
+            & (dt < TARGETDT)
+            & (jnp.abs(df) < TARGETDF)
+        )
+        rank = count[:, :, None] + jnp.cumsum(ok.astype(jnp.int32), axis=2)
+        h = ((bins[:, :, None] & 255) << 12) | ((df & 63) << 6) | (dt & 63)
+        for r in range(1, MAXPAIRSPERPEAK + 1):
+            hit = ok & (rank == r)
+            h_acc = h_acc.at[:, :, r - 1].add(
+                jnp.sum(jnp.where(hit, h, 0), axis=2)
+            )
+            v_acc = v_acc.at[:, :, r - 1].set(
+                v_acc[:, :, r - 1] | jnp.any(hit, axis=2)
+            )
+        return (count + jnp.sum(ok, axis=2), h_acc, v_acc), None
+
+    init = (
+        jnp.zeros((B, P), jnp.int32),
+        jnp.zeros((B, P, MAXPAIRSPERPEAK), jnp.int32),
+        jnp.zeros((B, P, MAXPAIRSPERPEAK), bool),
+    )
+    (_, h_acc, v_acc), _ = jax.lax.scan(
+        step, init, jnp.arange(n_chunks) * Wc
+    )
+
+    hashes = h_acc.reshape(B, -1)  # (B, P*3)
+    hvalid = v_acc.reshape(B, -1)
     times = jnp.broadcast_to(
         cols[:, :, None], (B, max_peaks, MAXPAIRSPERPEAK)
     ).reshape(B, -1)
