@@ -174,24 +174,35 @@ class DeviceMatcher:
     """Batched matcher over a device-resident hash table.
 
     Args mirror the reference Matcher defaults (window 2, threshcount 5,
-    search depth; ref: audfprint_match.py:71-100). ``max_candidates`` bounds
-    the per-query candidate set like the reference's ``search_depth`` — it is
-    kept small (the rawcount > 5 gate rarely passes more than a handful of
-    ids) and is configurable where corpora are pathological.
+    search depth 100; ref: audfprint_match.py:71-100). ``max_candidates``
+    bounds the per-query candidate set; it defaults to ``search_depth`` (the
+    reference keeps up to 100 candidate ids past the rawcount gate), clipped
+    to the corpus size. Lowering it trades a little tail accuracy on
+    pathological corpora for matcher memory/latency: the candidate-rank loop
+    and the (B, C, T) offset histograms both scale linearly in C.
+
+    ``max_query_frames`` is a floor on the negative-offset range of the
+    histograms; it is auto-raised per call to cover the actual query length
+    (a query time >= the static bound would otherwise silently lose late-
+    query hits relative to the reference's unbounded offset bincount).
     """
 
     def __init__(
         self,
         hash_table: HashTable,
-        max_candidates: int = 20,
+        max_candidates: Optional[int] = None,
         window: int = 2,
         threshcount: int = 5,
         max_query_frames: int = 512,
+        search_depth: int = 100,
     ) -> None:
         self.ht = hash_table
         self.window = window
         self.threshcount = threshcount
-        self.max_candidates = max_candidates
+        self.search_depth = search_depth
+        self.max_candidates = (
+            max_candidates if max_candidates is not None else search_depth
+        )
         self.max_query_frames = max_query_frames
         self.maxtimebits = hash_table.maxtimebits
         self.num_ids = max(len(hash_table.names), 1)
@@ -227,19 +238,38 @@ class DeviceMatcher:
         self._hashesperid = jnp.asarray(
             np.pad(hpi, (0, self.num_ids - len(hpi)), constant_values=1.0)
         )
-        self._match = jax.jit(
-            functools.partial(
-                _match_impl,
-                depth=self.eff_depth,
-                num_ids=self.num_ids,
-                max_candidates=min(self.max_candidates, self.num_ids),
-                window=self.window,
-                threshcount=self.threshcount,
-                maxtimebits=self.maxtimebits,
-                max_query_frames=self.max_query_frames,
-                max_store_time=self.eff_maxtime,
-            )
+        self._match_cache: dict = {}
+        self._e2e_cache: dict = {}
+
+    def _match_kwargs(self, max_query_frames: int) -> dict:
+        return dict(
+            depth=self.eff_depth,
+            num_ids=self.num_ids,
+            max_candidates=min(self.max_candidates, self.num_ids),
+            window=self.window,
+            threshcount=self.threshcount,
+            maxtimebits=self.maxtimebits,
+            max_query_frames=max_query_frames,
+            max_store_time=self.eff_maxtime,
         )
+
+    def _effective_mqf(self, max_qtime: int) -> int:
+        """Static max_query_frames covering queries whose largest time is
+        ``max_qtime`` — the configured floor, raised in 128-frame steps so the
+        number of jit specializations stays bounded."""
+        needed = max_qtime + 1
+        if needed <= self.max_query_frames:
+            return self.max_query_frames
+        return -(-needed // 128) * 128
+
+    def _get_match(self, max_query_frames: int):
+        if max_query_frames not in self._match_cache:
+            self._match_cache[max_query_frames] = jax.jit(
+                functools.partial(
+                    _match_impl, **self._match_kwargs(max_query_frames)
+                )
+            )
+        return self._match_cache[max_query_frames]
 
     # ------------------------------------------------------------ fused path
 
@@ -274,23 +304,16 @@ class DeviceMatcher:
 
         waveforms = jnp.asarray(waveforms, jnp.float32)
         B, T = waveforms.shape
+        # frames the longest (shift-0) query can produce (core/stft.py:41 with
+        # center padding): the histogram's negative-offset range must cover it
+        n_frames = 1 + T // n_hop
+        mqf = self._effective_mqf(n_frames - 1)
         cache_key = ("e2e", T, shifts, density, n_fft, n_hop, f_sd,
                      maxpksperframe, max_query_hashes, self.num_ids,
-                     self.eff_depth, self.eff_maxtime,
+                     self.eff_depth, self.eff_maxtime, mqf,
                      None if denoiser is None else id(denoiser))
-        if not hasattr(self, "_e2e_cache"):
-            self._e2e_cache = {}
         if cache_key not in self._e2e_cache:
-            match_kw = dict(
-                depth=self.eff_depth,
-                num_ids=self.num_ids,
-                max_candidates=min(self.max_candidates, self.num_ids),
-                window=self.window,
-                threshcount=self.threshcount,
-                maxtimebits=self.maxtimebits,
-                max_query_frames=self.max_query_frames,
-                max_store_time=self.eff_maxtime,
-            )
+            match_kw = self._match_kwargs(mqf)
 
             def prog(table, counts, hashesperid, wavs):
                 th_parts, valid_parts = [], []
@@ -380,8 +403,9 @@ class DeviceMatcher:
                 qt[i, :n] = arr[:, 0]
                 qh[i, :n] = arr[:, 1] & ((1 << self.ht.hashbits) - 1)
                 qv[i, :n] = True
+        match = self._get_match(self._effective_mqf(int(qt.max(initial=0))))
         best_id, best_count, _ = jax.device_get(
-            self._match(
+            match(
                 self._table,
                 self._counts,
                 self._hashesperid,

@@ -225,7 +225,9 @@ def find_peaks_batch(
     logsg = log_hpf_frontend(sgram)
     a_dec = float(1 - 0.01 * (density * np.sqrt(n_hop / 352.8) / 35))
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # Mosaic kernels compile only for TPU targets ("axon" is this image's
+        # remote-TPU tunnel platform); GPU/CPU backends take the scan path.
+        use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
         from musicfpaugment_tpu.afp.audfprint.peaks_pallas import (
             backward_prune_pallas,

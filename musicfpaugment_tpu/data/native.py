@@ -53,6 +53,28 @@ def _load() -> Optional[ctypes.CDLL]:
         if not build():
             return None
     lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        _bind_symbols(lib)
+    except AttributeError:
+        # a stale prebuilt .so (older than the newest symbols, e.g. built
+        # before mp3io.cc existed) — rebuild once, then give up gracefully so
+        # callers fall back to the scipy paths instead of crashing
+        try:
+            os.remove(_LIB_PATH)
+        except OSError:
+            return None
+        if not build():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            _bind_symbols(lib)
+        except AttributeError:
+            return None
+    _lib = lib
+    return lib
+
+
+def _bind_symbols(lib: ctypes.CDLL) -> None:
     lib.mfpa_wav_metadata.argtypes = [ctypes.c_char_p, ctypes.POINTER(_WavInfo)]
     lib.mfpa_wav_metadata.restype = ctypes.c_int
     lib.mfpa_read_wav.argtypes = [
@@ -77,8 +99,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
-    _lib = lib
-    return lib
 
 
 def available() -> bool:

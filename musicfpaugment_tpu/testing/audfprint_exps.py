@@ -112,6 +112,9 @@ def compute_accuracy_batched(
             device_matcher = DeviceMatcher(hash_tab)
         match_batch = device_matcher.match_hashes_batch
     else:
+        # the flag rules: a prebuilt device_matcher is only consulted when
+        # use_device_matcher is True (previously it silently won)
+        device_matcher = None
         matcher = Matcher()
         match_batch = lambda hs: [
             matcher.hashes_match_to_msgs(hash_tab, qh) for qh in hs
