@@ -300,7 +300,8 @@ def bench_train_step(
         )
         t0 = time.perf_counter()
         state, _ = trainer._train_step(
-            trainer.state, clean_j, None, jax.random.PRNGKey(0), jnp.float32(1.0)
+            trainer.state, clean_j, None, jax.random.PRNGKey(0), jnp.float32(1.0),
+            trainer._banks,
         )
         _ = float(jax.tree_util.tree_leaves(state.params)[0].ravel()[0])
         log(f"{model_name} train step compile: {time.perf_counter() - t0:.1f}s")
@@ -308,7 +309,8 @@ def bench_train_step(
         t0 = time.perf_counter()
         for i in range(iters):
             state, _ = trainer._train_step(
-                state, clean_j, None, jax.random.PRNGKey(i), jnp.float32(1.0)
+                state, clean_j, None, jax.random.PRNGKey(i), jnp.float32(1.0),
+                trainer._banks,
             )
         _ = float(jax.tree_util.tree_leaves(state.params)[0].ravel()[0])
         dt = (time.perf_counter() - t0) / iters
@@ -318,7 +320,8 @@ def bench_train_step(
     )
     try:
         lowered = trainer._train_step.lower(
-            trainer.state, clean_j, None, jax.random.PRNGKey(0), jnp.float32(1.0)
+            trainer.state, clean_j, None, jax.random.PRNGKey(0), jnp.float32(1.0),
+            trainer._banks,
         )
         flops = lowered.compile().cost_analysis()["flops"]
         achieved = flops / dt

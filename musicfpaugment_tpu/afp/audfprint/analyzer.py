@@ -31,6 +31,48 @@ from musicfpaugment_tpu.afp.audfprint.peaks import (
 from musicfpaugment_tpu.data.audio_io import read_wav, resample
 
 
+def pad_waveform_batch(
+    waveforms, n_fft: int = 512, pad_to: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack mixed-length 1-D waveforms into one (B, T) batch.
+
+    Each waveform is extended by ``n_fft // 2`` *reflected* samples (the
+    values the STFT's centered reflect padding reads past the signal end,
+    core/stft.py:66-67) and then zeros, so frames of the padded batch whose
+    index is below the per-example valid count are bit-identical to the
+    unpadded computation. Returns (batch, valid_samples) where
+    ``valid_samples[b]`` is the original length; feed it to
+    ``hashes_batch`` / ``DeviceMatcher.match_waveforms`` as ``valid_samples``
+    (they derive per-shift valid frame counts from it).
+    """
+    half = n_fft // 2
+    lens = [int(np.asarray(w).shape[-1]) for w in waveforms]
+    for L in lens:
+        if L <= half:
+            raise ValueError(
+                f"waveform of {L} samples is shorter than n_fft/2={half}; "
+                "mixed-length batching needs a reflectable tail"
+            )
+    T = pad_to if pad_to is not None else max(lens)
+    out = np.zeros((len(lens), T + half), np.float32)
+    for i, w in enumerate(waveforms):
+        w = np.asarray(w, np.float32).reshape(-1)
+        L = lens[i]
+        out[i, :L] = w
+        out[i, L : L + half] = w[-2 : -2 - half : -1]
+    return out, np.asarray(lens, np.int32)
+
+
+def valid_frames_for(
+    valid_samples, shift_samples: int = 0, n_fft: int = 512, n_hop: int = 256
+):
+    """Per-example valid frame count of a centered STFT over the first
+    ``valid_samples - shift_samples`` samples: ``1 + floor(L / n_hop)``
+    (core/stft.py:41 after the n_fft//2 reflect pad on both sides)."""
+    del n_fft  # centered: pad cancels the window length
+    return 1 + (valid_samples - shift_samples) // n_hop
+
+
 class AudfprintPeaks:
     """Analysis of waveforms into hash constellations
     (ref: peak_extractor.py:76-113 for the parameter meanings)."""
@@ -74,17 +116,21 @@ class AudfprintPeaks:
             return self.spec_denoiser
         return None
 
-    def peaks_batch(self, waveforms: np.ndarray) -> jnp.ndarray:
+    def peaks_batch(
+        self, waveforms: np.ndarray, valid_frames: Optional[np.ndarray] = None
+    ) -> jnp.ndarray:
         """(B, T) waveforms -> (B, n_fft//2, frames) boolean peak masks.
-        One jitted XLA program per waveform length."""
+        One jitted XLA program per waveform length. ``valid_frames`` marks
+        per-example real frame counts for mixed-length padded batches
+        (see :func:`pad_waveform_batch`)."""
         waveforms = jnp.asarray(waveforms, jnp.float32)
         if self.denoising and self.denoising_model == "demucs":
             waveforms = self.wave_denoiser(waveforms)
-        key = ("peaks", waveforms.shape[-1])
+        key = ("peaks", waveforms.shape[-1], valid_frames is not None)
         if key not in self._jit_cache:
             hook = self._spec_hook()
 
-            def fn(w):
+            def fn(w, vf):
                 return find_peaks_batch(
                     w,
                     density=self.density,
@@ -93,10 +139,12 @@ class AudfprintPeaks:
                     f_sd=self.f_sd,
                     maxpksperframe=self.maxpksperframe,
                     denoiser=hook,
+                    valid_frames=vf,
                 )
 
             self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key](waveforms)
+        vf = None if valid_frames is None else jnp.asarray(valid_frames, jnp.int32)
+        return self._jit_cache[key](waveforms, vf)
 
     def _hashes_from_masks_device(self, masks: jnp.ndarray):
         """(B, F, C) peak masks -> ((B, max_hashes, 2) int32, (B, max_hashes)
@@ -122,6 +170,7 @@ class AudfprintPeaks:
         waveforms: np.ndarray,
         shifts: Optional[int] = None,
         device_hashing: bool = True,
+        valid_samples: Optional[np.ndarray] = None,
     ) -> List[np.ndarray]:
         """(B, T) waveforms -> list of B (N_i, 2) unique (time, hash) arrays.
 
@@ -130,6 +179,10 @@ class AudfprintPeaks:
         samples. Peak pairing + hash packing run on device for the whole
         batch (``device_hashing=False`` restores the host oracle loop);
         cross-shift dedup stays a cheap host ``np.unique``.
+
+        ``valid_samples`` (B,) marks per-example real lengths when the batch
+        was stacked by :func:`pad_waveform_batch` — padded columns then
+        produce no peaks/hashes, matching per-file processing.
         """
         waveforms = np.asarray(waveforms, np.float32)
         shifts = shifts if shifts is not None else self.shifts
@@ -137,7 +190,15 @@ class AudfprintPeaks:
         per_shift = []  # per shift: (B,) list of (N, 2) arrays
         for shift in range(n_shifts):
             shiftsamps = int(shift / n_shifts * self.n_hop)
-            masks = self.peaks_batch(waveforms[:, shiftsamps:])
+            vf = (
+                None
+                if valid_samples is None
+                else valid_frames_for(
+                    np.asarray(valid_samples, np.int64), shiftsamps,
+                    self.n_fft, self.n_hop,
+                ).astype(np.int32)
+            )
+            masks = self.peaks_batch(waveforms[:, shiftsamps:], valid_frames=vf)
             if device_hashing:
                 th, valid = jax.device_get(self._hashes_from_masks_device(masks))
                 per_shift.append([t[v] for t, v in zip(th, valid)])
@@ -293,10 +354,14 @@ class AudfprintPeaks:
         names: List[str],
         waveforms: np.ndarray,
         shifts: Optional[int] = 1,
+        valid_samples: Optional[np.ndarray] = None,
     ) -> int:
         """Batched ingestion: peaks+hashes for the whole batch on TPU, then a
-        vectorized store per track."""
-        all_hashes = self.hashes_batch(waveforms, shifts=shifts)
+        vectorized store per track. ``valid_samples`` supports mixed-length
+        batches stacked by :func:`pad_waveform_batch`."""
+        all_hashes = self.hashes_batch(
+            waveforms, shifts=shifts, valid_samples=valid_samples
+        )
         total = 0
         for name, hashes in zip(names, all_hashes):
             hashtable.store(name, hashes)

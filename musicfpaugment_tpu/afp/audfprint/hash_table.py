@@ -57,24 +57,44 @@ class HashTable:
         self.names: List[Any] = []
         self.hashesperid = np.zeros(0, np.uint32)
         self.ht_version = HT_VERSION
+        self._name_idx: Optional[dict] = None
+        self._free_ids: List[int] = []
         self.dirty = True
 
     # --------------------------------------------------------------- store
 
+    def _name_index(self) -> dict:
+        """name -> id dict, lazily built and kept in sync by the mutators.
+        The reference resolves names with ``list.index`` per call
+        (hash_table.py:254-275) — O(corpus) per track, O(corpus^2) for a
+        full ingest; at the 106k-track reference scale that alone is
+        billions of comparisons, so lookups here are a dict."""
+        idx = getattr(self, "_name_idx", None)
+        if idx is None:  # invalidated by load()/reset()/remove()
+            idx = {n: i for i, n in enumerate(self.names) if n is not None}
+            self._name_idx = idx
+        return idx
+
     def name_to_id(self, name: Union[int, str], add_if_missing: bool = False) -> int:
         """ref: hash_table.py:254-275."""
         if isinstance(name, (str, bytes)):
-            if name not in self.names:
-                if not add_if_missing:
-                    raise ValueError("name " + str(name) + " not found")
-                try:
-                    id_ = self.names.index(None)
-                    self.names[id_] = name
-                    self.hashesperid[id_] = 0
-                except ValueError:
-                    self.names.append(name)
-                    self.hashesperid = np.append(self.hashesperid, [0])
-            return self.names.index(name)
+            idx = self._name_index()
+            got = idx.get(name)
+            if got is not None:
+                return got
+            if not add_if_missing:
+                raise ValueError("name " + str(name) + " not found")
+            free = getattr(self, "_free_ids", None)
+            if free:
+                id_ = free.pop()
+                self.names[id_] = name
+                self.hashesperid[id_] = 0
+            else:
+                id_ = len(self.names)
+                self.names.append(name)
+                self.hashesperid = np.append(self.hashesperid, [0])
+            idx[name] = id_
+            return id_
         if not isinstance(name, (int, np.integer)):
             raise TypeError(f"name must be str or int, got {type(name)}")
         return int(name)
@@ -180,6 +200,8 @@ class HashTable:
         self.counts[:] = 0
         self.names = []
         self.hashesperid = np.zeros(0, np.uint32)
+        self._name_idx = None
+        self._free_ids: list = []
         self.dirty = True
 
     def remove(self, name: Union[str, int]) -> None:
@@ -199,6 +221,10 @@ class HashTable:
             hashes_removed += int(np.sum(~keep))
         self.names[id_] = None
         self.hashesperid[id_] = 0
+        self._name_idx = None
+        if not hasattr(self, "_free_ids"):
+            self._free_ids = []
+        self._free_ids.append(id_)
         self.dirty = True
 
     def retrieve(self, name: Union[str, int]) -> np.ndarray:
@@ -262,4 +288,6 @@ class HashTable:
             int(meta[2]),
             int(meta[3]),
         )
+        self._name_idx = None
+        self._free_ids = [i for i, n in enumerate(self.names) if n is None]
         self.dirty = False

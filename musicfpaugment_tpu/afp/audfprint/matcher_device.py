@@ -285,6 +285,7 @@ class DeviceMatcher:
         maxpksperframe: int = 5,
         denoiser=None,
         max_query_hashes: int = 4096,
+        valid_samples=None,
     ) -> List[Tuple[str, Any, int]]:
         """Waveforms -> verdicts in ONE XLA program: peak extraction (all
         shifts), landmark hashing, cross-shift dedup, and table matching are
@@ -298,27 +299,34 @@ class DeviceMatcher:
         matcher (8 s @ density 20 yields well under 2k even at 4 shifts); a
         query exceeding it is truncated after dedup, earliest hashes first —
         same information the reference would use most of.
+
+        ``valid_samples`` (B,) int32 marks per-example real lengths for
+        mixed-length batches stacked by ``analyzer.pad_waveform_batch`` —
+        peaks/hashes past each query's real end are masked out of the whole
+        fused program, matching per-file matching semantics.
         """
         from musicfpaugment_tpu.afp.audfprint import landmarks as _lm
         from musicfpaugment_tpu.afp.audfprint.peaks import find_peaks_batch
 
         waveforms = jnp.asarray(waveforms, jnp.float32)
         B, T = waveforms.shape
+        has_valid = valid_samples is not None
         # frames the longest (shift-0) query can produce (core/stft.py:41 with
         # center padding): the histogram's negative-offset range must cover it
         n_frames = 1 + T // n_hop
         mqf = self._effective_mqf(n_frames - 1)
         cache_key = ("e2e", T, shifts, density, n_fft, n_hop, f_sd,
                      maxpksperframe, max_query_hashes, self.num_ids,
-                     self.eff_depth, self.eff_maxtime, mqf,
+                     self.eff_depth, self.eff_maxtime, mqf, has_valid,
                      None if denoiser is None else id(denoiser))
         if cache_key not in self._e2e_cache:
             match_kw = self._match_kwargs(mqf)
 
-            def prog(table, counts, hashesperid, wavs):
+            def prog(table, counts, hashesperid, wavs, vsamp):
                 th_parts, valid_parts = [], []
                 for s in range(max(1, shifts)):
                     off = int(s / max(1, shifts) * n_hop)
+                    vf = None if vsamp is None else 1 + (vsamp - off) // n_hop
                     masks = find_peaks_batch(
                         wavs[:, off:],
                         density=density,
@@ -327,6 +335,7 @@ class DeviceMatcher:
                         f_sd=f_sd,
                         maxpksperframe=maxpksperframe,
                         denoiser=denoiser,
+                        valid_frames=vf,
                     )
                     C = int(masks.shape[-1])
                     max_peaks = -(-maxpksperframe * C // 128) * 128
@@ -365,9 +374,12 @@ class DeviceMatcher:
 
             self._e2e_cache[cache_key] = jax.jit(prog)
 
+        vsamp = (
+            jnp.asarray(valid_samples, jnp.int32) if has_valid else None
+        )
         best_id, best_count, _ = jax.device_get(
             self._e2e_cache[cache_key](
-                self._table, self._counts, self._hashesperid, waveforms
+                self._table, self._counts, self._hashesperid, waveforms, vsamp
             )
         )
         return [

@@ -41,38 +41,71 @@ Array = jnp.ndarray
 # ------------------------------------------------------------ frontend
 
 
+def _col_mask(shape, valid_frames: Array) -> Array:
+    """(B, F, C) boolean mask of columns < valid_frames[b]."""
+    B, F, C = shape
+    return (
+        jnp.arange(C)[None, None, :] < valid_frames[:, None, None]
+    )
+
+
 def spectrogram_frontend(
     waveforms: Array,
     n_fft: int = 512,
     n_hop: int = 256,
     denoiser: Optional[Callable[[Array], Array]] = None,
+    valid_frames: Optional[Array] = None,
 ) -> Array:
     """|STFT| / max, with optional spectrogram denoiser hook.
 
     ref: peak_extractor.py:256-269 — per-example max normalization, then the
     (optional) UNet denoiser on the normalized magnitude.
     Returns (batch, n_fft//2 + 1, frames).
+
+    ``valid_frames`` (B,) marks per-example real frame counts for batches of
+    mixed-length waveforms padded to a common length: columns at or past the
+    bound are zeroed before normalization (so the per-example max matches the
+    unpadded computation exactly) and re-zeroed after the denoiser (whose
+    output there is meaningless). A denoiser's receptive field crossing the
+    boundary is a documented approximation — its interior columns see zero
+    context past ``valid_frames`` just as the unpadded run sees the model's
+    own zero padding, but coarse U-Net scales can mix a few boundary frames.
     """
     sgram = jnp.abs(stft(waveforms, n_fft=n_fft, hop_length=n_hop))
+    if valid_frames is not None:
+        sgram = jnp.where(_col_mask(sgram.shape, valid_frames), sgram, 0.0)
     denom = jnp.max(sgram, axis=(-2, -1), keepdims=True)
     sgram = sgram / jnp.maximum(denom, jnp.finfo(sgram.dtype).tiny)
     if denoiser is not None:
         sgram = denoiser(sgram)
+        if valid_frames is not None:
+            sgram = jnp.where(_col_mask(sgram.shape, valid_frames), sgram, 0.0)
     return sgram
 
 
-def log_hpf_frontend(sgram: Array) -> Array:
+def log_hpf_frontend(sgram: Array, valid_frames: Optional[Array] = None) -> Array:
     """log + mean-subtract + per-row one-pole HPF, Nyquist row dropped.
 
     ref: peak_extractor.py:271-290. The IIR ``lfilter([1,-1],[1,-0.98])`` is
     a first-order recurrence; it is evaluated exactly as a convolution of the
     first difference with the 0.98^k exponential kernel (FFT conv — no
     sequential loop).
+
+    With ``valid_frames``, the log-mean is taken over valid columns only
+    (matching the unpadded computation); the HPF recurrence is causal, so
+    padded columns cannot influence valid outputs.
     """
     sgrammax = jnp.max(sgram, axis=(-2, -1), keepdims=True)
     safe = jnp.maximum(sgram, sgrammax / 1e6)
     logsg = jnp.log(jnp.where(sgrammax > 0, safe, 1.0))
-    logsg = logsg - jnp.mean(logsg, axis=(-2, -1), keepdims=True)
+    if valid_frames is None:
+        logsg = logsg - jnp.mean(logsg, axis=(-2, -1), keepdims=True)
+    else:
+        m = _col_mask(logsg.shape, valid_frames)
+        F = logsg.shape[-2]
+        tot = jnp.sum(jnp.where(m, logsg, 0.0), axis=(-2, -1), keepdims=True)
+        cnt = (F * valid_frames).astype(logsg.dtype)[:, None, None]
+        logsg = logsg - tot / jnp.maximum(cnt, 1.0)
     # first difference x[n] - x[n-1] with x[-1] = 0
     n_cols = logsg.shape[-1]
     diff = logsg - jnp.pad(logsg, [(0, 0)] * (logsg.ndim - 1) + [(1, 0)])[..., :-1]
@@ -146,7 +179,12 @@ def forward_prune(sgram: Array, a_dec: float, f_sd: float, maxpks: int) -> Array
 
 
 def backward_prune(
-    sgram: Array, peaks: Array, a_dec: float, f_sd: float, maxpks: int
+    sgram: Array,
+    peaks: Array,
+    a_dec: float,
+    f_sd: float,
+    maxpks: int,
+    valid_frames: Optional[Array] = None,
 ) -> Array:
     """Backward prune: remove peaks masked by later-in-time peaks
     (ref: peak_extractor.py:206-234).
@@ -156,14 +194,29 @@ def backward_prune(
     of the same column* — a 5-step unrolled argmax loop. A kept peak also
     deletes any same-bin peak in the immediately following column (already
     processed, so only the output mask is affected).
+
+    With ``valid_frames`` (mixed-length batches), the initial envelope is the
+    spread of each example's *true* last column (gathered per example) and
+    the envelope is frozen — no decay, no candidates — while the reverse scan
+    crosses that example's padded columns, so the state on entering column
+    ``valid_frames[b] - 1`` equals the unpadded run's initial state exactly.
     """
     B, F, C = sgram.shape
     gauss = jnp.asarray(_gauss_table_np(F, f_sd))
-    sthresh0 = _spread_init(sgram[..., -1], gauss)
+    if valid_frames is None:
+        sthresh0 = _spread_init(sgram[..., -1], gauss)
+    else:
+        last = jnp.take_along_axis(
+            sgram, (valid_frames - 1)[:, None, None], axis=-1
+        )[..., 0]  # (B, F)
+        sthresh0 = _spread_init(last, gauss)
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (B, F), 1)
 
     def step(sthresh, xs):
-        s_col, peaks_col = xs  # (B, F)
+        s_col, peaks_col, col = xs  # (B, F), (B, F), scalar col index
+        if valid_frames is not None:
+            active = col < valid_frames  # (B,)
+            peaks_col = peaks_col & active[:, None]
         vals = jnp.where(peaks_col, s_col, -jnp.inf)
         kept = jnp.zeros((B, F), bool)
 
@@ -181,14 +234,20 @@ def backward_prune(
             vals = jnp.where(onehot, -jnp.inf, vals)
             return vals, sthresh, kept
 
-        vals, sthresh, kept = jax.lax.fori_loop(
+        vals, new_sthresh, kept = jax.lax.fori_loop(
             0, maxpks, inner, (vals, sthresh, kept)
         )
-        return sthresh * a_dec, kept
+        new_sthresh = new_sthresh * a_dec
+        if valid_frames is not None:
+            # frozen across padded columns: the decay only starts once the
+            # scan enters the example's real signal
+            new_sthresh = jnp.where(active[:, None], new_sthresh, sthresh)
+        return new_sthresh, kept
 
     xs = (
         jnp.moveaxis(sgram, -1, 0)[::-1],
         jnp.moveaxis(peaks, -1, 0)[::-1],
+        jnp.arange(C)[::-1],
     )
     _, kept_rev = jax.lax.scan(step, sthresh0, xs)
     kept = jnp.moveaxis(kept_rev[::-1], 0, -1)  # (B, F, C)
@@ -206,6 +265,7 @@ def find_peaks_batch(
     maxpksperframe: int = 5,
     denoiser: Optional[Callable[[Array], Array]] = None,
     use_pallas: Optional[bool] = None,
+    valid_frames: Optional[Array] = None,
 ) -> Array:
     """Full peak extraction for a batch of waveforms (batch, time).
 
@@ -220,14 +280,32 @@ def find_peaks_batch(
     queries/s for the scan path on one chip, BENCH r2; agreement ~2e-5 of
     cells, float associativity only), the scan path on CPU (where Mosaic
     kernels would need interpret mode).
+
+    ``valid_frames`` (B,) int32 enables mixed-length batches: waveforms must
+    be padded with 256 reflected samples then zeros (see
+    ``analyzer.pad_waveform_batch``), and every column at or past the bound
+    produces no peaks while valid columns match the unpadded run (the
+    frontends mask normalization/mean, the backward envelope initializes from
+    the true last column). Mixed-length batches take the scan kernels — the
+    Pallas pruning kernels assume a uniform column count.
     """
-    sgram = spectrogram_frontend(waveforms, n_fft, n_hop, denoiser)
-    logsg = log_hpf_frontend(sgram)
+    sgram = spectrogram_frontend(waveforms, n_fft, n_hop, denoiser, valid_frames)
+    logsg = log_hpf_frontend(sgram, valid_frames)
     a_dec = float(1 - 0.01 * (density * np.sqrt(n_hop / 352.8) / 35))
     if use_pallas is None:
         # Mosaic kernels compile only for TPU targets ("axon" is this image's
         # remote-TPU tunnel platform); GPU/CPU backends take the scan path.
         use_pallas = jax.default_backend() in ("tpu", "axon")
+    if valid_frames is not None:
+        # padded columns are driven to a large negative constant so the
+        # forward pass admits no candidates there (threshold >= 0 always)
+        colmask = _col_mask(logsg.shape, valid_frames)
+        logsg = jnp.where(colmask, logsg, -1e30)
+        peaks = forward_prune(logsg, a_dec, f_sd, maxpksperframe)
+        kept = backward_prune(
+            logsg, peaks & colmask, a_dec, f_sd, maxpksperframe, valid_frames
+        )
+        return kept & colmask
     if use_pallas:
         from musicfpaugment_tpu.afp.audfprint.peaks_pallas import (
             backward_prune_pallas,

@@ -101,10 +101,12 @@ class F1score:
 
 
 def batch_peak_metrics(
-    predicted: np.ndarray, gt: np.ndarray, tolerance: int = 0
+    predicted: np.ndarray, gt: np.ndarray, tolerance: int = 0, reduce: bool = True
 ) -> dict:
-    """Batched (B, F, C) masks -> averaged {precision, recall, f1} in one
-    device pass — the TPU-native path for peaks_metrics over 10k queries."""
+    """Batched (B, F, C) masks -> {precision, recall, f1} in one device pass —
+    the TPU-native path for peaks_metrics over 10k queries. ``reduce=False``
+    returns the per-example (B,) arrays instead of batch means (callers that
+    accumulate across uneven chunks need sums, not means of means)."""
     predicted = jnp.asarray(predicted, jnp.float32)
     gt = jnp.asarray(gt, jnp.float32)
     tol_pred = _tolerance_sum(predicted, tolerance)
@@ -118,8 +120,18 @@ def batch_peak_metrics(
     )
     denom = precision + recall
     f1 = jnp.where(denom > 0, 2 * precision * recall / jnp.where(denom > 0, denom, 1), 0.0)
+    if not reduce:
+        return {"precision": precision, "recall": recall, "f1": f1}
     return {
         "precision": float(jnp.mean(precision)),
         "recall": float(jnp.mean(recall)),
         "f1": float(jnp.mean(f1)),
     }
+
+
+def batch_psnr(pred, target):
+    """Per-example PSNR (B,) — each row scored like :func:`psnr` on its own
+    (the sequential harness calls psnr once per query pair)."""
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    return jax.vmap(_psnr)(pred, target)

@@ -289,12 +289,20 @@ class Trainer:
             terms = {"loss": loss, "l1_loss": l1, "sc_loss": sc, "mag_loss": mag}
             return loss, (terms, batch_stats, pred, clean)
 
-    def _make_batch(self, clean, aug, key):
-        """Augment on-device when the loader ships clean-only batches."""
+    def _make_batch(self, clean, aug, key, banks):
+        """Augment on-device when the loader ships clean-only batches.
+
+        ``banks`` is the (noise_bank, ir_bank) pair threaded through the
+        jitted step as an *argument* — a closed-over bank array would be
+        baked into the XLA program as a constant, which breaks compilation
+        once banks reach real DCASE size (hundreds of MB; the same
+        constraint as the hash table, matcher_device.py _match_impl).
+        Mirrors AugmentFP.batch_augment (augment/pipeline.py), where banks
+        are jit arguments by design."""
         if aug is None:
+            noise_bank, ir_bank = banks
             aug = self.augmenter._chain(
-                key, clean[:, None, :], self.augmenter.noise_bank,
-                self.augmenter.ir_bank,
+                key, clean[:, None, :], noise_bank, ir_bank
             )[:, 0, :]
         return aug
 
@@ -303,11 +311,19 @@ class Trainer:
         rep = replicated(mesh)
         dsh = batch_sharding(mesh)
         has_aug = self.augmenter is not None
+        # device-resident bank data, uploaded once (leaves may be numpy)
+        self._banks = (
+            jax.tree_util.tree_map(
+                jnp.asarray, (self.augmenter.noise_bank, self.augmenter.ir_bank)
+            )
+            if has_aug
+            else None
+        )
 
-        def train_step(state: TrainState, clean, aug, key, lr_scale):
+        def train_step(state: TrainState, clean, aug, key, lr_scale, banks):
             k_aug, k_drop = jax.random.split(key)
             if has_aug:
-                aug = self._make_batch(clean, None, k_aug)
+                aug = self._make_batch(clean, None, k_aug, banks)
 
             def loss_fn(params):
                 return self._loss_terms(
@@ -329,10 +345,10 @@ class Trainer:
             )
             return new_state, terms
 
-        def val_step(state: TrainState, clean, aug, key):
+        def val_step(state: TrainState, clean, aug, key, banks):
             k_aug, k_drop = jax.random.split(key)
             if has_aug:
-                aug = self._make_batch(clean, None, k_aug)
+                aug = self._make_batch(clean, None, k_aug, banks)
             _, (terms, _, pred, target) = self._loss_terms(
                 state.params, state.batch_stats, clean, aug, k_drop, train=False
             )
@@ -343,13 +359,13 @@ class Trainer:
         if mesh.devices.size > 1:
             self._train_step = jax.jit(
                 train_step,
-                in_shardings=(rep, dsh, None if has_aug else dsh, rep, rep),
+                in_shardings=(rep, dsh, None if has_aug else dsh, rep, rep, rep),
                 out_shardings=(rep, rep),
                 donate_argnums=(0,),
             )
             self._val_step = jax.jit(
                 val_step,
-                in_shardings=(rep, dsh, None if has_aug else dsh, rep),
+                in_shardings=(rep, dsh, None if has_aug else dsh, rep, rep),
                 out_shardings=rep,
             )
         else:
@@ -381,7 +397,7 @@ class Trainer:
             clean, aug = self._get_batch(self.train_iter)
             self.state, terms = self._train_step(
                 self.state, clean, aug, self._next_keys(),
-                jnp.float32(self.scheduler.scale),
+                jnp.float32(self.scheduler.scale), self._banks,
             )
             for k, v in terms.items():
                 acc[k] = acc.get(k, 0.0) + float(v)
@@ -405,7 +421,7 @@ class Trainer:
     def validation_epoch(self) -> Tuple[Dict[str, float], Dict[str, float]]:
         acc: Dict[str, float] = {}
         for clean, aug, key in self._val_batches():
-            terms = self._val_step(self.state, clean, aug, key)
+            terms = self._val_step(self.state, clean, aug, key, self._banks)
             for k, v in terms.items():
                 acc[k] = acc.get(k, 0.0) + float(v)
         out = {k: v / self.val_steps for k, v in acc.items()}
@@ -524,9 +540,9 @@ class Trainer:
         if not hasattr(self, "_media_step"):
             has_aug = self.augmenter is not None
 
-            def media_step(state, clean, aug, key):
+            def media_step(state, clean, aug, key, banks):
                 if has_aug:
-                    aug = self._make_batch(clean, None, key)
+                    aug = self._make_batch(clean, None, key, banks)
                 if self.input_type == "spec":
                     variables = {
                         "params": state.params, "batch_stats": state.batch_stats
@@ -539,7 +555,7 @@ class Trainer:
                 return aug, pred
 
             self._media_step = jax.jit(media_step)
-        return self._media_step(self.state, clean, aug, key)
+        return self._media_step(self.state, clean, aug, key, self._banks)
 
     def _log_media(self, epoch: int) -> None:
         """wav + spectrogram triplets every 10 epochs

@@ -270,3 +270,85 @@ def test_audfprint_batched_accuracy_matches_sequential(tmp_path, rng):
     assert bat["No Denoising"] == pytest.approx(seq["No Denoising"])
     assert bat["Mix Pipeline"] == pytest.approx(seq["Mix Pipeline"])
     assert bat["No Denoising"] >= 0.8  # clean crops identify trivially
+
+
+@pytest.mark.slow
+def test_create_fp_database_batched_matches_sequential(tmp_path, rng):
+    """VERDICT r2 #5: the bulk indexer (threaded decode + ingest_batch)
+    stores, per track, exactly the hashes the sequential per-file ingest
+    stores — including a mixed-length corpus exercising the padded path."""
+    import scipy.io.wavfile
+
+    from musicfpaugment_tpu.afp.audfprint import AudfprintPeaks, HashTable
+    from musicfpaugment_tpu.testing.audfprint_exps import create_fp_database
+    from musicfpaugment_tpu.testing.parameters import afp_settings
+
+    paths = _write_wav_tracks(tmp_path / "tracks", rng, n=5, seconds=6)
+    # make lengths uneven: rewrite two tracks truncated
+    for i, cut in ((1, SR // 2), (3, SR + 137)):
+        sr_read, data = scipy.io.wavfile.read(paths[i])
+        scipy.io.wavfile.write(paths[i], sr_read, data[:-cut])
+
+    seq_ht = HashTable()
+    seq_analyzer = AudfprintPeaks(afp_settings["audfprint"])
+    seq_analyzer.shifts = 1
+    for p in paths:
+        seq_analyzer.ingest(seq_ht, p)
+
+    bat_ht = create_fp_database(
+        paths, str(tmp_path / "db.npz"), batch_size=2, num_workers=2
+    )
+    assert [n for n in bat_ht.names] == [n for n in seq_ht.names]
+    for p in paths:
+        seq_pairs = seq_ht.retrieve(p)
+        bat_pairs = bat_ht.retrieve(p)
+        np.testing.assert_array_equal(
+            np.sort(bat_pairs, axis=0), np.sort(seq_pairs, axis=0)
+        )
+    assert bat_ht.totalhashes() == seq_ht.totalhashes()
+
+
+@pytest.mark.slow
+def test_peaks_metrics_batched_matches_sequential(tmp_path, rng):
+    """VERDICT r2 #6: the batched peaks_metrics action (find_peaks_batch +
+    vectorized metrics over whole query batches) reproduces the sequential
+    per-file loop's averages exactly."""
+    from musicfpaugment_tpu.afp.audfprint import AudfprintPeaks
+    from musicfpaugment_tpu.testing.audfprint_exps import (
+        compute_peaks_metrics,
+        compute_peaks_metrics_batched,
+    )
+    from musicfpaugment_tpu.testing.generate_queries import (
+        generate_augmented_queries,
+        generate_clean_queries,
+    )
+    from musicfpaugment_tpu.testing.parameters import afp_settings, bn_p10_params
+
+    tracks = _write_wav_tracks(tmp_path / "tracks", rng, n=5)
+    cleans = tmp_path / "cleans"
+    generate_clean_queries(tracks, str(cleans), duration=2, save=True)
+    noise_bank, ir_bank = augment.synthetic_banks(
+        sample_rate=SR, noise_row_length=2 * SR, num_noise=4, num_irs=2
+    )
+    augmenter = augment.AugmentFP(
+        noise_bank, SR, parameters=bn_p10_params, impulse_response_dir=ir_bank
+    )
+    aug_dir = tmp_path / "bn_p10"
+    generate_augmented_queries(
+        str(aug_dir), bn_p10_params, save=True, augmenter=augmenter,
+        cleans_path=str(cleans),
+    )
+    queries = [str(aug_dir / q) for q in sorted(os.listdir(aug_dir))]
+    a1 = AudfprintPeaks(afp_settings["audfprint"])
+    identity = lambda s: s
+    a2 = AudfprintPeaks(
+        afp_settings["audfprint"], denoising=True, denoising_model="unet",
+        spec_denoiser=identity,
+    )
+    seq = compute_peaks_metrics(queries, a1, a2, cleans_path=str(cleans))
+    bat = compute_peaks_metrics_batched(
+        queries, a1, a2, cleans_path=str(cleans), batch_size=2
+    )
+    assert set(bat) == set(seq)
+    for k in seq:
+        assert bat[k] == pytest.approx(seq[k], rel=1e-5, abs=1e-5), k

@@ -254,3 +254,59 @@ def test_resume_preserves_val_target(tmp_path):
     assert resumed.epoch_start > 1  # picked up last_epoch
     v_after, _ = resumed.validation_epoch()
     assert v_after["loss"] == pytest.approx(v_before["loss"], rel=1e-6)
+
+
+@pytest.mark.slow
+def test_banks_are_step_arguments_not_constants(tmp_path):
+    """VERDICT r2 #3: the jitted train step must take the noise/IR banks as
+    device-data *arguments* (like AugmentFP.batch_augment), never as traced
+    closure constants — a real DCASE bank is hundreds of MB and an XLA
+    constant that size breaks the remote compile path (HTTP 413). Three
+    checks: (a) the banks change the augmented batch (they are actually
+    wired through), (b) swapping bank *values* at the same shapes changes
+    the loss WITHOUT retracing, (c) results are bit-equal to a
+    closure-captured oracle step."""
+    trainer = _make_trainer(tmp_path, UNet(1, 1, rate=0.05, base=8), "spec")
+    clean = jnp.asarray(next(synthetic_clean_batches(8, SR, SR, seed=5)))
+    key = jax.random.PRNGKey(11)
+    lr = jnp.float32(1.0)
+
+    # the step donates its input state — clone per call so the original
+    # (needed by the closure oracle below) survives
+    def clone(tree):
+        return jax.tree_util.tree_map(jnp.array, tree)
+
+    # (b) same shapes, different bank values: no retrace, different loss
+    n_traces_before = trainer._train_step._cache_size()
+    _, terms1 = trainer._train_step(
+        clone(trainer.state), clean, None, key, lr, trainer._banks
+    )
+    other_banks = jax.tree_util.tree_map(
+        lambda x: x * 1.5 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        trainer._banks,
+    )
+    _, terms2 = trainer._train_step(
+        clone(trainer.state), clean, None, key, lr, other_banks
+    )
+    assert trainer._train_step._cache_size() == max(n_traces_before, 1)
+    assert float(terms1["loss"]) != float(terms2["loss"])  # (a) banks used
+
+    # (c) bit-equal to a closure-over-banks oracle of the same computation
+    banks = trainer._banks
+
+    def oracle_step(state, clean, key, lr_scale):
+        k_aug, k_drop = jax.random.split(key)
+        aug = trainer._make_batch(clean, None, k_aug, banks)
+
+        def loss_fn(params):
+            return trainer._loss_terms(
+                params, state.batch_stats, clean, aug, k_drop, train=True
+            )
+
+        _, (terms, _, _, _) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return terms
+
+    terms_oracle = jax.jit(oracle_step)(trainer.state, clean, key, lr)
+    assert float(terms_oracle["loss"]) == pytest.approx(
+        float(terms1["loss"]), rel=1e-6
+    )
