@@ -248,8 +248,12 @@ class HashTable:
 
     # --------------------------------------------------------------- io
 
-    def save(self, name: str) -> None:
-        np.savez_compressed(
+    def save(self, name: str, compress: bool = True) -> None:
+        """``compress=False`` for large tables: a full 2^20 x 100 table is
+        ~420 MB of near-random uint32 — deflate burns minutes for ~no
+        ratio, and scale ingests checkpoint the table repeatedly."""
+        writer = np.savez_compressed if compress else np.savez
+        writer(
             name if name.endswith(".npz") else name + ".npz",
             table=self.table,
             counts=self.counts,

@@ -62,26 +62,34 @@ def _bincount_rows(values: Array, num_bins: int) -> Array:
     num_bins are dropped. TPU-shaped: a scatter-add with colliding indices
     executes as a serialized loop on TPU (measured ~270 ms for ~4M updates),
     so this sorts each row, run-length-encodes, and scatters one count per
-    *distinct* value with provably unique indices (the fast path)."""
+    *distinct* value with provably unique indices (the fast path).
+    (The production matcher no longer calls this — ``_match_impl`` fuses its
+    two bincounts into one sort — but it remains the reusable primitive.)"""
     B, K = values.shape
     s = jax.lax.sort(values, dimension=-1)
-    start = jnp.concatenate(
-        [jnp.ones((B, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
-    )
+    start, length = _run_length(s)
     pos = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
-    start_pos = jnp.where(start, pos, K)
-    # next run start strictly after k: reverse cumulative min, shifted left
-    nxt = jnp.flip(
-        jax.lax.cummin(jnp.flip(start_pos, -1), axis=1), -1
-    )
-    nxt_after = jnp.concatenate([nxt[:, 1:], jnp.full((B, 1), K)], axis=1)
-    length = (nxt_after - pos).astype(jnp.int32)
     # distinct out-of-range sentinels keep the unique-indices promise honest
     idx = jnp.where(start & (s < num_bins), s, num_bins + pos)
     out = jnp.zeros((B, num_bins), jnp.int32)
     return out.at[jnp.arange(B)[:, None], idx].add(
         jnp.where(start, length, 0), mode="drop", unique_indices=True
     )
+
+
+def _run_length(sorted_vals: Array) -> Tuple[Array, Array]:
+    """(B, K) sorted rows -> (start mask, run length at each start position).
+    Lengths at non-start positions are meaningless (masked by callers)."""
+    B, K = sorted_vals.shape
+    start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), sorted_vals[:, 1:] != sorted_vals[:, :-1]],
+        axis=1,
+    )
+    pos = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
+    start_pos = jnp.where(start, pos, K)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(start_pos, -1), axis=1), -1)
+    nxt_after = jnp.concatenate([nxt[:, 1:], jnp.full((B, 1), K)], axis=1)
+    return start, (nxt_after - pos).astype(jnp.int32)
 
 
 def _match_impl(
@@ -109,24 +117,57 @@ def _match_impl(
     constant, and at reference scale the 2^20 x 100 table is ~420 MB — far
     past what the remote-compile path accepts. As arguments they stay
     device-resident data.
+
+    Single-sort design: every hit is packed into ONE int key
+    ``id * (T + 1) + (dt + max_query_frames)`` and the batch is sorted once.
+    The sorted keys yield, by run-length encoding at two granularities,
+    (a) the per-id raw counts (id-run lengths — the reference's
+    ``np.bincount(allids)``, audfprint_match.py:104-116) and (b) the
+    per-(id, dt) cell counts that scatter into the per-candidate offset
+    histograms. The previous formulation sorted the (B, H*D) hit buffer
+    twice (once for raw counts, once for histograms); at depth 100 the sort
+    is the dominant cost, and it also was the prime suspect for the
+    batch-256 HBM spill (r2 commits f60d9f1/d6efc84).
     """
     B, H = qhashes.shape
     D = depth
     C = max_candidates
     T = (max_store_time or (1 << maxtimebits)) + max_query_frames
+    T2 = T + 1  # slot T = defensive overflow, excluded from histograms
     timemask = (1 << maxtimebits) - 1
+    K = H * D
 
     tab = table[qhashes]  # (B, H, D) uint32
     nvalid = counts[qhashes]  # (B, H)
     slot_ok = jnp.arange(D)[None, None, :] < nvalid[..., None]
     hit_ok = slot_ok & qvalid[..., None]  # (B, H, D)
     ids = (tab >> maxtimebits).astype(jnp.int32) - 1
-    dts = (tab & timemask).astype(jnp.int32) - qtimes[..., None]
-    ids = jnp.where(hit_ok, ids, num_ids)  # sentinel -> dropped
+    dtq = (
+        (tab & timemask).astype(jnp.int32)
+        - qtimes[..., None]
+        + max_query_frames
+    )
+    dtq = jnp.clip(dtq, 0, T)
+    key_dtype = jnp.int32 if (num_ids + 1) * T2 < 2**31 else jnp.int64
+    sentinel = jnp.asarray(num_ids, key_dtype) * T2
+    key = jnp.where(
+        hit_ok, ids.astype(key_dtype) * T2 + dtq.astype(key_dtype), sentinel
+    ).reshape(B, K)
+    s = jax.lax.sort(key, dimension=-1)
 
-    # raw per-id counts (ref: np.bincount(allids), audfprint_match.py:104-116)
-    flat_ids = ids.reshape(B, H * D)
-    raw = _bincount_rows(flat_ids, num_ids)
+    cell_start, cell_len = _run_length(s)
+    cell_id = (s // T2).astype(jnp.int32)
+    cell_dt = (s - cell_id.astype(key_dtype) * T2).astype(jnp.int32)
+
+    # raw per-id counts from id-level run lengths over the same sorted array
+    id_start, id_len = _run_length(cell_id)
+    pos = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
+    raw_idx = jnp.where(id_start & (cell_id < num_ids), cell_id, num_ids + pos)
+    raw = (
+        jnp.zeros((B, num_ids), jnp.int32)
+        .at[jnp.arange(B)[:, None], raw_idx]
+        .add(jnp.where(id_start, id_len, 0), mode="drop", unique_indices=True)
+    )
 
     # candidate selection: top-C of raw/hashesperid with raw > threshcount
     wtd = raw.astype(jnp.float32) / hashesperid[None, :]
@@ -135,24 +176,28 @@ def _match_impl(
     cand_ok = top_wtd > 0.0
     cand_sent = jnp.where(cand_ok, cand, -1_000_000)
 
-    # rank of each hit's id within the query's candidate list. C is small
+    # rank of each cell's id within the query's candidate list. C is small
     # (<= search-depth), so per-candidate equality beats a binary search —
     # vmapped searchsorted is log2(C) rounds of random gathers, which the
     # TPU backend serializes (measured ~250 ms for 3.7M hits). The C
-    # comparisons are accumulated in an unrolled loop so no (B, H*D, C)
+    # comparisons are accumulated in an unrolled loop so no (B, K, C)
     # tensor is materialized (it spills HBM past batch 128).
-    is_cand = jnp.zeros(flat_ids.shape, bool)
-    rank = jnp.zeros(flat_ids.shape, jnp.int32)
+    is_cand = jnp.zeros((B, K), bool)
+    rank = jnp.zeros((B, K), jnp.int32)
     for c in range(C):  # candidate ids are unique per query
-        m = flat_ids == cand_sent[:, c][:, None]
+        m = cell_id == cand_sent[:, c][:, None]
         is_cand = is_cand | m
         rank = jnp.where(m, c, rank)
 
-    # per-candidate time-offset histograms into (B, C, T)
-    dtq = dts.reshape(B, H * D) + max_query_frames
-    dtq_ok = is_cand & (dtq >= 0) & (dtq < T)
-    sidx = jnp.where(dtq_ok, rank * T + dtq, C * T)  # sentinel dropped
-    hist = _bincount_rows(sidx, C * T).reshape(B, C, T)
+    # per-candidate offset histograms: one count per distinct (id, dt) cell,
+    # provably unique scatter indices (the serialized-scatter fast path)
+    hist_ok = cell_start & is_cand & (cell_dt < T)
+    sidx = jnp.where(hist_ok, rank * T + cell_dt, C * T + pos)
+    hist = (
+        jnp.zeros((B, C * T), jnp.int32)
+        .at[jnp.arange(B)[:, None], sidx]
+        .add(jnp.where(hist_ok, cell_len, 0), mode="drop", unique_indices=True)
+    ).reshape(B, C, T)
 
     # windowed counts around qualifying local-max modes
     w = window

@@ -2,6 +2,16 @@
 
 Generates onset-rich multitone 'music' batches so the full training and eval
 stacks run end-to-end in environments without MTG-Jamendo/DCASE/FMA mounted.
+
+Two generators:
+
+* :func:`synthetic_clean_batches` — host numpy iterator (training loops);
+* :func:`synth_tracks_device` — the same kind of content generated *on
+  device* as a pure function of (base_key, track_index). Used by the
+  reference-scale identification proof (examples/scale_proof.py), where a
+  100k-track corpus must exist without ever uploading waveforms through the
+  host: each track is reproducible from its index, so indexing and query
+  generation can both materialize it on the chip on demand.
 """
 
 from __future__ import annotations
@@ -40,3 +50,56 @@ def synthetic_clean_batches(
             if peak > 0:
                 batch[b] /= peak
         yield batch
+
+
+def synth_tracks_device(
+    base_key,
+    indices,
+    num_samples: int,
+    sample_rate: int = 8000,
+    notes_per_second: int = 20,
+):
+    """(B,) track indices -> (B, num_samples) float32 tracks, on device.
+
+    Track ``i`` is a pure function of ``fold_in(base_key, i)`` — batch-size
+    invariant, so a corpus of any size is addressable without storage. The
+    content matches :func:`synthetic_clean_batches` in spirit (exponentially
+    decaying sine notes at random onsets, peak-normalized); the note loop is
+    a ``lax.scan`` accumulating into the (B, T) buffer — each step is dense
+    (B, T) vector work, no per-note Python.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_notes = max(4, num_samples * notes_per_second // sample_rate)
+    t = jnp.arange(num_samples, dtype=jnp.float32)
+
+    def one_track_params(idx):
+        k = jax.random.fold_in(base_key, idx)
+        kf, ks, kd, ka = jax.random.split(k, 4)
+        f = jax.random.uniform(kf, (n_notes,), minval=80.0, maxval=3500.0)
+        start = jax.random.uniform(
+            ks, (n_notes,), maxval=float(max(1, num_samples - sample_rate // 8))
+        )
+        dur = jax.random.uniform(
+            kd, (n_notes,),
+            minval=float(sample_rate // 16), maxval=float(sample_rate // 4),
+        )
+        amp = jax.random.uniform(ka, (n_notes,), minval=0.3, maxval=1.0)
+        return f, start, dur, amp
+
+    f, start, dur, amp = jax.vmap(one_track_params)(indices)  # (B, n_notes)
+
+    def add_note(acc, note):
+        nf, ns, nd, na = note  # (B,) each
+        rel = t[None, :] - ns[:, None]  # (B, T)
+        env = jnp.exp(-8.0 * rel / sample_rate)
+        tone = jnp.sin(2.0 * jnp.pi * nf[:, None] * rel / sample_rate)
+        gate = (rel >= 0.0) & (rel < nd[:, None])
+        return acc + jnp.where(gate, na[:, None] * tone * env, 0.0), None
+
+    notes = (f.T, start.T, dur.T, amp.T)  # scan over the note axis
+    init = jnp.zeros((indices.shape[0], num_samples), jnp.float32)
+    acc, _ = jax.lax.scan(add_note, init, notes)
+    peak = jnp.max(jnp.abs(acc), axis=-1, keepdims=True)
+    return (acc / jnp.maximum(peak, 1e-9)).astype(jnp.float32)
