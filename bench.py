@@ -277,7 +277,7 @@ def bench_train_step(
         model = UNet(1, 1, rate=0.05, dtype=jnp.bfloat16 if bf16 else None)
         input_type = "spec"
     else:
-        model = Demucs()
+        model = Demucs(dtype=jnp.bfloat16 if bf16 else None)
         input_type = "audio"
     if bf16:
         model_name = model_name + "-bf16"
@@ -371,10 +371,11 @@ def main() -> None:
             )
         except Exception as e:
             log(f"{model_name} torch baseline skipped: {e}")
-    try:
-        bench_train_step("unet", bf16=True)
-    except Exception as e:
-        log(f"unet bf16 bench skipped: {e}")
+    for m in ("unet", "demucs"):
+        try:
+            bench_train_step(m, bf16=True)
+        except Exception as e:
+            log(f"{m} bf16 bench skipped: {e}")
     try:
         bench_peaks()
     except Exception as e:  # secondary metric must not break the headline

@@ -129,9 +129,16 @@ def _bwd_kernel(sgram_ref, peaks_ref, out_ref, *, a_dec, f_sd, maxpks, n_cols):
     jax.lax.fori_loop(0, n_cols, column, th0)
 
 
-def _block(B: int) -> int:
+def _block(B: int, C: int, F: int, n_bufs: int) -> int:
+    """Largest batch tile whose VMEM working set fits.
+
+    Each grid step keeps ``n_bufs`` (BT, C, F) f32 blocks resident and the
+    pipeline double-buffers them; the scoped-vmem budget is 16 MB. 8-second
+    queries (C=251) get BT=8; 30-second tracks (C=938) drop to BT=2 — found
+    the hard way: the full-depth scale ingest OOMed vmem at (8, 938, 256)."""
+    budget = 12 * 2**20  # leave headroom under the 16 MB scoped limit
     for bt in (8, 4, 2, 1):
-        if B % bt == 0:
+        if B % bt == 0 and bt * C * F * 4 * n_bufs * 2 <= budget:
             return bt
     return 1
 
@@ -146,7 +153,7 @@ def forward_prune_pallas(
     """(B, F, C) log spectrogram -> (B, F, C) bool peaks, Pallas path."""
     B, F, C = sgram.shape
     tm = jnp.swapaxes(sgram, 1, 2)  # (B, C, F) time-major
-    BT = _block(B)
+    BT = _block(B, C, F, n_bufs=2)
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, a_dec=a_dec, f_sd=f_sd, maxpks=maxpks, n_cols=C
@@ -175,7 +182,7 @@ def backward_prune_pallas(
     B, F, C = sgram.shape
     tm = jnp.swapaxes(sgram, 1, 2)
     pm = jnp.swapaxes(peaks, 1, 2).astype(jnp.float32)
-    BT = _block(B)
+    BT = _block(B, C, F, n_bufs=3)
     kept = pl.pallas_call(
         functools.partial(
             _bwd_kernel, a_dec=a_dec, f_sd=f_sd, maxpks=maxpks, n_cols=C

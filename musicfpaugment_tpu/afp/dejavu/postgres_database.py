@@ -1,6 +1,8 @@
 """PostgreSQL backend — deployment parity with the reference
-(ref: afp/dejavu/postgres_database.py:248-456). Requires psycopg2 (gated
-import; absent in this image — SQLiteDatabase is the local default)."""
+(ref: afp/dejavu/postgres_database.py:248-456). Connects through psycopg2
+when installed, otherwise through the bundled ctypes libpq client
+(``pglib`` — zero Python dependencies beyond the system ``libpq.so``).
+SQLiteDatabase remains the local default where no server runs."""
 
 from __future__ import annotations
 
@@ -67,10 +69,13 @@ class PostgreSQLDatabase(SQLDatabase):
     IN_MATCH = "%s"
 
     def __init__(self, **options) -> None:
-        import psycopg2  # gated: not installed in the bare image
+        try:
+            import psycopg2 as driver  # preferred when present
+        except ImportError:
+            from musicfpaugment_tpu.afp.dejavu import pglib as driver
 
         self._options = options
-        self._conn = psycopg2.connect(**options)
+        self._conn = driver.connect(**options)
 
     @contextmanager
     def cursor(self):

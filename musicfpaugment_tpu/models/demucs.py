@@ -27,25 +27,32 @@ Array = jnp.ndarray
 
 
 class BLSTM(nn.Module):
-    """Stacked (bi-)LSTM bottleneck (ref: training/model.py:91-110)."""
+    """Stacked (bi-)LSTM bottleneck (ref: training/model.py:91-110).
+
+    ``dtype`` is the compute dtype (bf16 mixed precision; params stay f32) —
+    the cell matmuls are the model's serial bottleneck, so they are the ones
+    that must hit the MXU at bf16 rates."""
 
     dim: int
     layers: int = 2
     bi: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         """x: (batch, time, dim) -> (batch, time, dim)."""
         for _ in range(self.layers):
             if self.bi:
-                fwd = nn.RNN(nn.OptimizedLSTMCell(self.dim))
-                bwd = nn.RNN(nn.OptimizedLSTMCell(self.dim), reverse=True,
-                             keep_order=True)
+                fwd = nn.RNN(nn.OptimizedLSTMCell(self.dim, dtype=self.dtype))
+                bwd = nn.RNN(
+                    nn.OptimizedLSTMCell(self.dim, dtype=self.dtype),
+                    reverse=True, keep_order=True,
+                )
                 x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
             else:
-                x = nn.RNN(nn.OptimizedLSTMCell(self.dim))(x)
+                x = nn.RNN(nn.OptimizedLSTMCell(self.dim, dtype=self.dtype))(x)
         if self.bi:
-            x = nn.Dense(self.dim)(x)
+            x = nn.Dense(self.dim, dtype=self.dtype)(x)
         return x
 
 
@@ -73,6 +80,7 @@ class Demucs(nn.Module):
     glu: bool = True
     floor: float = 1e-3
     sample_rate: int = 8000
+    dtype: Any = None  # compute dtype (bf16 mixed precision); params stay f32
 
     def channel_plan(self):
         chin, chout, hidden = self.chin, self.chout, self.hidden
@@ -124,6 +132,10 @@ class Demucs(nn.Module):
             x = upsample2(upsample2(x))
 
         x = jnp.swapaxes(x, 1, 2)  # -> (B, T, C)
+        if self.dtype is not None:
+            # resampling stays f32 (sinc filters are precision-sensitive);
+            # the encoder/LSTM/decoder stack computes in bf16 on the MXU
+            x = x.astype(self.dtype)
         ch_scale = 2 if self.glu else 1
         act = _glu if self.glu else nn.relu
         plan = self.channel_plan()
@@ -131,26 +143,27 @@ class Demucs(nn.Module):
         skips = []
         for chin_i, _, hidden_i in plan:
             x = nn.Conv(hidden_i, (self.kernel_size,), strides=(self.stride,),
-                        padding="VALID")(x)
+                        padding="VALID", dtype=self.dtype)(x)
             x = nn.relu(x)
-            x = nn.Conv(hidden_i * ch_scale, (1,))(x)
+            x = nn.Conv(hidden_i * ch_scale, (1,), dtype=self.dtype)(x)
             x = act(x)
             skips.append(x)
 
         lstm_dim = plan[-1][2]
-        x = BLSTM(lstm_dim, bi=not self.causal)(x)
+        x = BLSTM(lstm_dim, bi=not self.causal, dtype=self.dtype)(x)
 
         for i, (chin_i, chout_i, hidden_i) in enumerate(reversed(plan)):
             skip = skips.pop(-1)
             x = x + skip[:, : x.shape[1], :]
-            x = nn.Conv(ch_scale * hidden_i, (1,))(x)
+            x = nn.Conv(ch_scale * hidden_i, (1,), dtype=self.dtype)(x)
             x = act(x)
             x = nn.ConvTranspose(chout_i, (self.kernel_size,),
-                                 strides=(self.stride,), padding="VALID")(x)
+                                 strides=(self.stride,), padding="VALID",
+                                 dtype=self.dtype)(x)
             if i < self.depth - 1:  # ReLU on all but the output decode
                 x = nn.relu(x)
 
-        x = jnp.swapaxes(x, 1, 2)  # -> (B, C, T)
+        x = jnp.swapaxes(x, 1, 2).astype(mix.dtype)  # -> (B, C, T)
         if self.resample == 2:
             x = downsample2(x)
         elif self.resample == 4:

@@ -134,3 +134,23 @@ def test_unet_bf16_mixed_precision():
     y = model.apply(variables, x)
     assert y.dtype == jnp.float32
     assert bool(jnp.isfinite(y).all())
+
+
+def test_demucs_bf16_close_to_f32():
+    """VERDICT r2 #4: the bf16 mixed-precision option (params f32, compute
+    bf16 through encoder/LSTM/decoder, f32 resampling) shares parameter
+    structure with the f32 model and stays within bf16 rounding of it."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8000)).astype(np.float32)
+    )
+    m32 = Demucs(hidden=8, depth=3)
+    mbf = Demucs(hidden=8, depth=3, dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(0), x)
+    y32 = m32.apply(v, x)
+    ybf = mbf.apply(v, x)  # same params tree — drop-in switch
+    assert ybf.dtype == jnp.float32  # output stays f32
+    rel = float(jnp.max(jnp.abs(y32 - ybf)) / (jnp.max(jnp.abs(y32)) + 1e-9))
+    assert rel < 0.05

@@ -117,12 +117,20 @@ def test_delete_songs_by_id_uses_in_lists():
     assert any("DELETE FROM songs WHERE song_id IN (%s)" in s for s in sqls)
 
 
+def test_pglib_placeholder_conversion():
+    from musicfpaugment_tpu.afp.dejavu.pglib import _to_dollar_params
+
+    assert _to_dollar_params("SELECT %s, %s") == "SELECT $1, $2"
+    assert _to_dollar_params("IN (%s, %s, %s)") == "IN ($1, $2, $3)"
+    assert _to_dollar_params("no params") == "no params"
+
+
 @pytest.mark.skipif(
     not os.environ.get("MFPA_POSTGRES_DSN"),
     reason="no MFPA_POSTGRES_DSN (start docker/docker-compose.yaml db_fma)",
 )
 def test_live_postgres_round_trip():
-    psycopg2 = pytest.importorskip("psycopg2")
+    # connects via psycopg2 when installed, else the ctypes libpq client
     import re
 
     dsn = os.environ["MFPA_POSTGRES_DSN"]
@@ -131,7 +139,7 @@ def test_live_postgres_round_trip():
     )
     try:
         db = PostgreSQLDatabase(**options)
-    except psycopg2.OperationalError as e:
+    except Exception as e:
         pytest.skip(f"postgres unreachable: {e}")
     db.empty()
     sid = db.insert_song("live.mp3", "cd" * 20, 3)
