@@ -140,12 +140,17 @@ def bench_end_to_end_match(
     analyzer.shifts = 1
     ht = HashTable()
     t0 = time.perf_counter()
+    batch_secs = []
     for start in range(0, n_tracks, batch_size):
         names = [f"t{start + i:05d}" for i in range(batch_size)]
         tracks = rng.standard_normal((batch_size, 12 * sr)).astype(np.float32)
+        tb = time.perf_counter()
         analyzer.ingest_batch(ht, names, tracks)
+        batch_secs.append(time.perf_counter() - tb)
     log(f"indexed {n_tracks} tracks in {time.perf_counter() - t0:.1f}s "
-        f"({ht.totalhashes()} hashes)")
+        f"({ht.totalhashes()} hashes); steady-state indexing "
+        f"{batch_size / min(batch_secs):.0f} tracks/s "
+        f"(first batch incl. compile {batch_secs[0]:.1f}s)")
 
     import jax.numpy as jnp
 

@@ -335,6 +335,20 @@ def stage_report(args):
 
 
 def main():
+    # chunked invocations re-enter python repeatedly; the persistent
+    # compilation cache makes restarts pay trace time only (when the
+    # backend supports serialized executables — harmless otherwise)
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("MFPA_JAX_CACHE", "/tmp/jaxcache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     p = argparse.ArgumentParser()
     p.add_argument("stage", choices=["ingest", "match", "oracle", "report"])
     p.add_argument("--workdir", default="/tmp/scale_proof")

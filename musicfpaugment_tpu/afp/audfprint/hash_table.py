@@ -253,8 +253,12 @@ class HashTable:
         ~420 MB of near-random uint32 — deflate burns minutes for ~no
         ratio, and scale ingests checkpoint the table repeatedly."""
         writer = np.savez_compressed if compress else np.savez
+        path = name if name.endswith(".npz") else name + ".npz"
+        # atomic: a 420 MB write interrupted mid-flight must not destroy the
+        # previous checkpoint (learned from a truncated scale-ingest save)
+        tmp = path + ".tmp.npz"
         writer(
-            name if name.endswith(".npz") else name + ".npz",
+            tmp,
             table=self.table,
             counts=self.counts,
             names=np.asarray(
@@ -265,6 +269,7 @@ class HashTable:
                 [self.hashbits, self.depth, self.maxtimebits, self.ht_version]
             ),
         )
+        os.replace(tmp, path)
         self.dirty = False
         nhashes = self.totalhashes()
         dropped = nhashes - int(np.sum(np.minimum(self.depth, self.counts)))

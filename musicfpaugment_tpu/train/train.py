@@ -81,7 +81,21 @@ def main() -> None:
                         help="UNet width scale (64 = reference plan)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 mixed-precision compute (f32 params)")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="join a multi-host pod (jax.distributed.initialize; "
+        "coordinator/process env: JAX_COORDINATOR_ADDRESS, "
+        "JAX_NUM_PROCESSES, JAX_PROCESS_ID — auto-discovered on TPU pods). "
+        "The data mesh then spans every pod device; run one process per "
+        "host with the same CLI args.",
+    )
     args = parser.parse_args()
+
+    if args.multihost:
+        from musicfpaugment_tpu.parallel.mesh import init_multihost
+
+        pid = init_multihost()
+        print(f"multihost: process {pid} joined the pod")
 
     fix_random_seeds()
 
@@ -95,8 +109,10 @@ def main() -> None:
         )
         input_type = "spec"
     else:
+        import jax.numpy as jnp
+
         learning_rate = 5e-4
-        model = Demucs()
+        model = Demucs(dtype=jnp.bfloat16 if args.bf16 else None)
         input_type = "audio"
     ckpt_name = f"{args.model}_lr_{learning_rate}_BS_{args.batch_size}"
     ckpt_path = os.path.join(
