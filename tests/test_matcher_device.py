@@ -178,3 +178,43 @@ def test_eff_maxtime_covers_high_time_indices():
     status, name, count = dm.match_hashes_batch([q])[0]
     assert status == "MATCH" and name == "late_in_time"
     assert count >= 40
+
+
+@pytest.mark.slow
+def test_depth100_reservoir_regime_parity():
+    """VERDICT r2 #1 (CPU regression of the scale regime): a reduced-hashbits
+    table forces every bucket past depth 100 — reservoir sampling during
+    store, eff_depth == 100, and the deep-gather/histogram matcher path —
+    and the DeviceMatcher must still agree with the numpy oracle on the
+    identical (overflowed) table."""
+    rng = np.random.default_rng(11)
+    ht = HashTable(hashbits=8, depth=100, maxtime=16384)
+    tracks = []
+    for i in range(48):
+        times = np.sort(rng.integers(0, 900, 700)).astype(np.int64)
+        hashes = rng.integers(0, 2**8, 700)  # 256 buckets only
+        th = np.stack([times, hashes], axis=1)
+        tracks.append(th)
+        ht.store(f"track{i:03d}", th)
+    assert int(ht.counts.max()) > ht.depth  # reservoir actually ran
+    dropped = ht.totalhashes() - int(np.sum(np.minimum(ht.depth, ht.counts)))
+    assert dropped > 0
+
+    dm = DeviceMatcher(ht)
+    assert dm.eff_depth == 100
+
+    oracle = Matcher()
+    qs = []
+    for qi in range(12):
+        ti = qi % len(tracks)
+        th = tracks[ti]
+        start = int(rng.integers(0, 600))
+        sel = th[(th[:, 0] >= start) & (th[:, 0] < start + 250)].copy()
+        sel[:, 0] -= start
+        qs.append(sel)
+    device = dm.match_hashes_batch(qs)
+    for q, dv in zip(qs, device):
+        ov = oracle.hashes_match_to_msgs(ht, q)
+        assert dv[0] == ov[0]
+        if ov[0] == "MATCH":
+            assert dv[1] == ov[1] and dv[2] == ov[2]
