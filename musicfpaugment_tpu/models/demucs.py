@@ -133,8 +133,12 @@ class Demucs(nn.Module):
 
         x = jnp.swapaxes(x, 1, 2)  # -> (B, T, C)
         if self.dtype is not None:
-            # resampling stays f32 (sinc filters are precision-sensitive);
-            # the encoder/LSTM/decoder stack computes in bf16 on the MXU
+            # sinc resampling stays f32 (FFT convolution; RFFT has no bf16
+            # lowering) — the encoder/LSTM/decoder stack computes in bf16.
+            # Stage profile (examples/profile_demucs.py, on chip): the step
+            # is bound by the memory-bound conv/resample frontend and the
+            # MR-STFT loss FFTs, NOT the BLSTM (13 ms of a 108 ms f32
+            # fwd+bwd), so bf16's win here is 1.35x (6.2 -> 8.4 steps/s).
             x = x.astype(self.dtype)
         ch_scale = 2 if self.glu else 1
         act = _glu if self.glu else nn.relu
@@ -163,7 +167,7 @@ class Demucs(nn.Module):
             if i < self.depth - 1:  # ReLU on all but the output decode
                 x = nn.relu(x)
 
-        x = jnp.swapaxes(x, 1, 2).astype(mix.dtype)  # -> (B, C, T)
+        x = jnp.swapaxes(x, 1, 2).astype(mix.dtype)  # -> (B, C, T), f32
         if self.resample == 2:
             x = downsample2(x)
         elif self.resample == 4:
