@@ -10,13 +10,15 @@ TPU-native design — the whole batch of queries is matched by ONE XLA program:
 * the 2^20-bucket hash table lives in HBM, sliced to its *effective* depth
   (deepest bucket in use; the configured depth is 100); hits for all queries
   are one gather ``table[q_hashes]`` -> (B, H, depth);
-* per-id raw counts and per-candidate offset histograms are sort +
-  run-length + unique-index-scatter bincounts (``_bincount_rows`` — a
-  colliding scatter-add serializes on TPU), matching the reference's
-  ``np.bincount`` semantics;
+* ALL counting happens in sorted order with zero scatters (see
+  ``_match_impl``): hits sort once by a packed (id, dt) key; raw counts are
+  run lengths, candidates come from ``top_k`` at run starts, and offset
+  histograms collapse to +-window neighbor shifts after a compaction sort —
+  on TPU even a unique-index scatter-add runs ~100M updates/s, which made
+  the earlier bincount formulations the pipeline's dominant cost;
 * candidate selection is ``top_k`` over hashesperid-weighted counts, gated on
   ``rawcount > threshcount`` (ref: ``_best_count_ids``, audfprint_match.py:102-129),
-  and hits are assigned to candidates by broadcast equality (C is small);
+  and cells are assigned to candidates by broadcast equality (C is small);
 * mode extraction: the reference's iterative argmax/zero-out loop reduces,
   for the top-1 verdict, to "max over qualifying local maxima of the
   windowed count" — local-max mask + cumsum window + max, no loop
@@ -118,22 +120,36 @@ def _match_impl(
     past what the remote-compile path accepts. As arguments they stay
     device-resident data.
 
-    Single-sort design: every hit is packed into ONE int key
-    ``id * (T + 1) + (dt + max_query_frames)`` and the batch is sorted once.
-    The sorted keys yield, by run-length encoding at two granularities,
-    (a) the per-id raw counts (id-run lengths — the reference's
-    ``np.bincount(allids)``, audfprint_match.py:104-116) and (b) the
-    per-(id, dt) cell counts that scatter into the per-candidate offset
-    histograms. The previous formulation sorted the (B, H*D) hit buffer
-    twice (once for raw counts, once for histograms); at depth 100 the sort
-    is the dominant cost, and it also was the prime suspect for the
-    batch-256 HBM spill (r2 commits f60d9f1/d6efc84).
+    Scatter-free sorted-order design. Every hit is packed into ONE int key
+    ``id * (T + 1) + (dt + max_query_frames)`` and the batch is sorted once;
+    all remaining work happens in sorted order, because on TPU a
+    scatter-add - even with provably unique indices - runs at ~100M
+    updates/s (measured 0.5 s apiece for the two (B, bins) bincounts this
+    replaced, r3 profile), while sorts and elementwise passes stream at
+    memory bandwidth:
+
+    * per-id raw counts (the reference's ``np.bincount(allids)``,
+      audfprint_match.py:102-129) are id-run lengths, available at every
+      position from two cumulative extrema - no count table is built;
+    * candidate selection is ``top_k`` over the per-run weighted counts at
+      id-run *start positions* (ties resolve to the lower id, matching a
+      dense top_k);
+    * a second, 2-operand sort compacts the distinct (id, dt) cells to the
+      row front, after which each cell occupies exactly one slot in (id, dt)
+      order - the offset histogram around a cell is then just its +-window
+      neighbors, so the reference's iterative mode extraction
+      (audfprint_match.py:235-316) reduces to +-window shifted elementwise
+      compares (same-id, dt-within-window masks), with no (B, C, T)
+      histogram materialization at all;
+    * the verdict is one argmax over a packed (windowed-count, candidate-
+      rank) score - tie-breaks replicate the dense formulation: higher
+      count, then better-weighted candidate, then earliest offset.
     """
     B, H = qhashes.shape
     D = depth
     C = max_candidates
     T = (max_store_time or (1 << maxtimebits)) + max_query_frames
-    T2 = T + 1  # slot T = defensive overflow, excluded from histograms
+    T2 = T + 1  # slot T = defensive overflow, excluded from scoring
     timemask = (1 << maxtimebits) - 1
     K = H * D
 
@@ -155,64 +171,128 @@ def _match_impl(
     ).reshape(B, K)
     s = jax.lax.sort(key, dimension=-1)
 
-    cell_start, cell_len = _run_length(s)
-    cell_id = (s // T2).astype(jnp.int32)
-    cell_dt = (s - cell_id.astype(key_dtype) * T2).astype(jnp.int32)
-
-    # raw per-id counts from id-level run lengths over the same sorted array
-    id_start, id_len = _run_length(cell_id)
     pos = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
-    raw_idx = jnp.where(id_start & (cell_id < num_ids), cell_id, num_ids + pos)
-    raw = (
-        jnp.zeros((B, num_ids), jnp.int32)
-        .at[jnp.arange(B)[:, None], raw_idx]
-        .add(jnp.where(id_start, id_len, 0), mode="drop", unique_indices=True)
-    )
+    cell_id = (s // T2).astype(jnp.int32)
+    in_corpus = cell_id < num_ids  # sentinel run excluded
 
-    # candidate selection: top-C of raw/hashesperid with raw > threshcount
-    wtd = raw.astype(jnp.float32) / hashesperid[None, :]
-    wtd = jnp.where(raw > threshcount, wtd, -1.0)
-    top_wtd, cand = jax.lax.top_k(wtd, C)  # (B, C)
-    cand_ok = top_wtd > 0.0
+    # ---- per-id raw counts at every position of the id run: run start
+    # (latest id-change at or before k) via cummax, run end (next id-change
+    # strictly after k) via reversed cummin
+    id_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), cell_id[:, 1:] != cell_id[:, :-1]], axis=1
+    )
+    rs_id = jax.lax.cummax(jnp.where(id_start, pos, -1), axis=1)
+    nxt_id = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(id_start, pos, K), -1), axis=1), -1
+    )
+    nxt_id_after = jnp.concatenate(
+        [nxt_id[:, 1:], jnp.full((B, 1), K)], axis=1
+    )
+    raw_at = (nxt_id_after - rs_id).astype(jnp.int32)  # full id-run length
+
+    # ---- candidate selection at id-run starts (gather from the small
+    # (num_ids,) hashesperid table; ref gate: raw > threshcount)
+    hpi_at = hashesperid[jnp.minimum(cell_id, num_ids - 1)]
+    w_start = jnp.where(
+        id_start & in_corpus & (raw_at > threshcount),
+        raw_at.astype(jnp.float32) / hpi_at,
+        -1.0,
+    )
+    top_w, top_pos = jax.lax.top_k(w_start, C)  # (B, C) positions into K
+    cand_ok = top_w > 0.0
+    cand = jnp.take_along_axis(cell_id, top_pos, axis=1)  # (B, C) ids
     cand_sent = jnp.where(cand_ok, cand, -1_000_000)
 
-    # rank of each cell's id within the query's candidate list. C is small
-    # (<= search-depth), so per-candidate equality beats a binary search —
-    # vmapped searchsorted is log2(C) rounds of random gathers, which the
-    # TPU backend serializes (measured ~250 ms for 3.7M hits). The C
-    # comparisons are accumulated in an unrolled loop so no (B, K, C)
-    # tensor is materialized (it spills HBM past batch 128).
+    # ---- compact distinct (id, dt) cells to the row front (2-operand sort:
+    # the packed key carries id+dt; the run length rides as payload)
+    cell_start, cell_len = _run_length(s)
+    big = jnp.asarray(jnp.iinfo(key_dtype).max, key_dtype)
+    k2, clen = jax.lax.sort(
+        (jnp.where(cell_start & in_corpus, s, big), cell_len),
+        dimension=-1,
+        num_keys=1,
+    )
+    present = k2 < big
+    cid = jnp.where(present, k2 // T2, 0).astype(jnp.int32)
+    cdt = jnp.where(present, k2 - cid.astype(key_dtype) * T2, T).astype(
+        jnp.int32
+    )
+    clen = jnp.where(present & (cdt < T), clen, 0)
+
+    # ---- rank of each cell's id within the candidate list. C is small
+    # (<= search-depth 100), so an unrolled equality loop beats a binary
+    # search (vmapped searchsorted is log2(C) rounds of serialized random
+    # gathers, measured ~250 ms for 3.7M hits) and materializes no
+    # (B, K, C) tensor.
     is_cand = jnp.zeros((B, K), bool)
     rank = jnp.zeros((B, K), jnp.int32)
     for c in range(C):  # candidate ids are unique per query
-        m = cell_id == cand_sent[:, c][:, None]
+        m = cid == cand_sent[:, c][:, None]
         is_cand = is_cand | m
         rank = jnp.where(m, c, rank)
 
-    # per-candidate offset histograms: one count per distinct (id, dt) cell,
-    # provably unique scatter indices (the serialized-scatter fast path)
-    hist_ok = cell_start & is_cand & (cell_dt < T)
-    sidx = jnp.where(hist_ok, rank * T + cell_dt, C * T + pos)
-    hist = (
-        jnp.zeros((B, C * T), jnp.int32)
-        .at[jnp.arange(B)[:, None], sidx]
-        .add(jnp.where(hist_ok, cell_len, 0), mode="drop", unique_indices=True)
-    ).reshape(B, C, T)
+    # ---- windowed counts + local-max modes via +-window neighbor shifts:
+    # cells of one id are consecutive and dt-sorted, so a populated
+    # histogram column within the +-window lives at most `window` slots away
+    def shifted(x, off, fill):
+        if off > 0:  # value at slot k - off
+            return jnp.concatenate(
+                [jnp.full((B, off), fill, x.dtype), x[:, :-off]], axis=1
+            )
+        return jnp.concatenate(
+            [x[:, -off:], jnp.full((B, -off), fill, x.dtype)], axis=1
+        )
 
-    # windowed counts around qualifying local-max modes
-    w = window
-    csum = jnp.cumsum(jnp.pad(hist, ((0, 0), (0, 0), (w + 1, w))), axis=-1)
-    wcount = csum[..., 2 * w + 1 :] - csum[..., : T]  # sum over [t-w, t+w]
-    modes = _locmax_tail(hist) & (hist > threshcount)
-    scored = jnp.where(modes, wcount, 0)  # (B, C, T)
-    best_per_cand = jnp.max(scored, axis=-1)  # (B, C)
-    best_mode_per_cand = jnp.argmax(scored, axis=-1) - max_query_frames
-    best_c = jnp.argmax(best_per_cand, axis=-1)  # (B,)
-    best_count = jnp.take_along_axis(best_per_cand, best_c[:, None], 1)[:, 0]
-    best_id = jnp.take_along_axis(cand, best_c[:, None], 1)[:, 0]
-    best_mode = jnp.take_along_axis(best_mode_per_cand, best_c[:, None], 1)[:, 0]
+    wcount = clen
+    hist_prev1 = jnp.zeros((B, K), jnp.int32)
+    hist_next1 = jnp.zeros((B, K), jnp.int32)
+    for o in range(1, window + 1):
+        cid_p, cdt_p, len_p = (
+            shifted(cid, o, -1), shifted(cdt, o, 0), shifted(clen, o, 0)
+        )
+        same_p = (cid_p == cid) & (cdt_p >= cdt - window)
+        wcount = wcount + jnp.where(same_p, len_p, 0)
+        cid_n, cdt_n, len_n = (
+            shifted(cid, -o, -1), shifted(cdt, -o, 0), shifted(clen, -o, 0)
+        )
+        same_n = (cid_n == cid) & (cdt_n <= cdt + window)
+        wcount = wcount + jnp.where(same_n, len_n, 0)
+        if o == 1:  # exact +-1 neighbors for the local-max test
+            hist_prev1 = jnp.where(
+                (cid_p == cid) & (cdt_p == cdt - 1), len_p, 0
+            )
+            hist_next1 = jnp.where(
+                (cid_n == cid) & (cdt_n == cdt + 1), len_n, 0
+            )
+    # reference locmax endpoint semantics (ref locmax, audfprint_match.py:
+    # 24-41): missing hist[t-1]/hist[t+1] neighbors behave as zeros, which
+    # the masked +-1 lookups produce naturally
+    modes = (
+        (clen >= hist_prev1) & (clen > hist_next1) & (clen > threshcount)
+    )
+
+    # ---- verdict: argmax over a packed (wcount, candidate-rank) score -
+    # higher aligned count first, then the better-weighted candidate, then
+    # (argmax first-wins) the earliest offset of that candidate
+    bits = max(C, 2).bit_length()
+    score_dtype = jnp.int64 if (K << bits) >= 2**31 else jnp.int32
+    score = jnp.where(
+        modes & is_cand & present,
+        (wcount.astype(score_dtype) << bits)
+        + (jnp.asarray((1 << bits) - 1, score_dtype) - rank.astype(score_dtype)),
+        0,
+    )
+    best_pos = jnp.argmax(score, axis=-1)  # (B,)
+    best_score = jnp.take_along_axis(score, best_pos[:, None], 1)[:, 0]
+    best_count = (best_score >> bits).astype(jnp.int32)
+    best_id = jnp.take_along_axis(cid, best_pos[:, None], 1)[:, 0]
+    best_mode = (
+        jnp.take_along_axis(cdt, best_pos[:, None], 1)[:, 0]
+        - max_query_frames
+    )
     best_id = jnp.where(best_count > 0, best_id, -1)
     return best_id, best_count, best_mode
+
 
 
 class DeviceMatcher:
