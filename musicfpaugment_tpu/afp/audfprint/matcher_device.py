@@ -131,9 +131,13 @@ def _match_impl(
     * per-id raw counts (the reference's ``np.bincount(allids)``,
       audfprint_match.py:102-129) are id-run lengths, available at every
       position from two cumulative extrema - no count table is built;
-    * candidate selection is ``top_k`` over the per-run weighted counts at
-      id-run *start positions* (ties resolve to the lower id, matching a
-      dense top_k);
+    * every corpus id contributes one MARKER key that sorts immediately
+      before its hits and carries ``hashesperid[id]`` as the sort payload —
+      the weighting lookup arrives by merge, because a (B, W) random gather
+      from even a tiny table costs a fixed ~8 ns per scalar load on TPU
+      (measured 456 ms for 52M loads, r3 profile);
+    * candidate selection is ``top_k`` over the weighted counts at the
+      markers (ties resolve to the lower id, matching a dense top_k);
     * a second, 2-operand sort compacts the distinct (id, dt) cells to the
       row front, after which each cell occupies exactly one slot in (id, dt)
       order - the offset histogram around a cell is then just its +-window
@@ -149,9 +153,12 @@ def _match_impl(
     D = depth
     C = max_candidates
     T = (max_store_time or (1 << maxtimebits)) + max_query_frames
-    T2 = T + 1  # slot T = defensive overflow, excluded from scoring
+    # key layout: id * T3 + slot, with slot 0 = the id's hashesperid MARKER,
+    # slot 1 + dt = a hit at offset dt, slot T3 - 1 = defensive dt overflow
+    T3 = T + 3
     timemask = (1 << maxtimebits) - 1
     K = H * D
+    W = K + num_ids  # hits ++ one marker per corpus id
 
     tab = table[qhashes]  # (B, H, D) uint32
     nvalid = counts[qhashes]  # (B, H)
@@ -163,42 +170,60 @@ def _match_impl(
         - qtimes[..., None]
         + max_query_frames
     )
-    dtq = jnp.clip(dtq, 0, T)
-    key_dtype = jnp.int32 if (num_ids + 1) * T2 < 2**31 else jnp.int64
-    sentinel = jnp.asarray(num_ids, key_dtype) * T2
-    key = jnp.where(
-        hit_ok, ids.astype(key_dtype) * T2 + dtq.astype(key_dtype), sentinel
+    dtq = jnp.clip(dtq, 0, T)  # slot T = defensive overflow, never scored
+    key_dtype = jnp.int32 if (num_ids + 1) * T3 < 2**31 else jnp.int64
+    sentinel = jnp.asarray(num_ids, key_dtype) * T3
+    hit_key = jnp.where(
+        hit_ok,
+        ids.astype(key_dtype) * T3 + (dtq + 1).astype(key_dtype),
+        sentinel,
     ).reshape(B, K)
-    s = jax.lax.sort(key, dimension=-1)
+    # hashesperid markers: id i's marker key i*T3 sorts immediately before
+    # its hits and carries hpi[i] as the sort payload — this is how every
+    # id-run learns its weight WITHOUT a (B, W) random gather from the
+    # (num_ids,) table (measured 456 ms for 52M scalar loads, r3 profile;
+    # the per-load cost is fixed no matter how small the table)
+    marker_key = jnp.broadcast_to(
+        (jnp.arange(num_ids, dtype=key_dtype) * T3)[None, :], (B, num_ids)
+    )
+    payload = jnp.concatenate(
+        [
+            jnp.zeros((B, K), jnp.float32),
+            jnp.broadcast_to(
+                hashesperid[None, :num_ids], (B, num_ids)
+            ).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    key = jnp.concatenate([hit_key, marker_key], axis=1)  # (B, W)
+    s, hpi_at = jax.lax.sort((key, payload), dimension=-1, num_keys=1)
 
-    pos = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
-    cell_id = (s // T2).astype(jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(W)[None, :], (B, W))
+    cell_id = (s // T3).astype(jnp.int32)
+    rem = (s - cell_id.astype(key_dtype) * T3).astype(jnp.int32)
+    is_marker = rem == 0
     in_corpus = cell_id < num_ids  # sentinel run excluded
 
-    # ---- per-id raw counts at every position of the id run: run start
-    # (latest id-change at or before k) via cummax, run end (next id-change
-    # strictly after k) via reversed cummin
+    # ---- per-id raw counts: every id-run begins at its marker, so the
+    # count is (next id-change) - (marker position) - 1
     id_start = jnp.concatenate(
         [jnp.ones((B, 1), bool), cell_id[:, 1:] != cell_id[:, :-1]], axis=1
     )
-    rs_id = jax.lax.cummax(jnp.where(id_start, pos, -1), axis=1)
     nxt_id = jnp.flip(
-        jax.lax.cummin(jnp.flip(jnp.where(id_start, pos, K), -1), axis=1), -1
+        jax.lax.cummin(jnp.flip(jnp.where(id_start, pos, W), -1), axis=1), -1
     )
     nxt_id_after = jnp.concatenate(
-        [nxt_id[:, 1:], jnp.full((B, 1), K)], axis=1
+        [nxt_id[:, 1:], jnp.full((B, 1), W)], axis=1
     )
-    raw_at = (nxt_id_after - rs_id).astype(jnp.int32)  # full id-run length
+    raw_at = (nxt_id_after - pos - 1).astype(jnp.int32)  # valid at markers
 
-    # ---- candidate selection at id-run starts (gather from the small
-    # (num_ids,) hashesperid table; ref gate: raw > threshcount)
-    hpi_at = hashesperid[jnp.minimum(cell_id, num_ids - 1)]
+    # ---- candidate selection at the markers (ref gate: raw > threshcount)
     w_start = jnp.where(
-        id_start & in_corpus & (raw_at > threshcount),
-        raw_at.astype(jnp.float32) / hpi_at,
+        is_marker & in_corpus & (raw_at > threshcount),
+        raw_at.astype(jnp.float32) / jnp.maximum(hpi_at, 1.0),
         -1.0,
     )
-    top_w, top_pos = jax.lax.top_k(w_start, C)  # (B, C) positions into K
+    top_w, top_pos = jax.lax.top_k(w_start, C)  # (B, C) positions into W
     cand_ok = top_w > 0.0
     cand = jnp.take_along_axis(cell_id, top_pos, axis=1)  # (B, C) ids
     cand_sent = jnp.where(cand_ok, cand, -1_000_000)
@@ -208,15 +233,18 @@ def _match_impl(
     cell_start, cell_len = _run_length(s)
     big = jnp.asarray(jnp.iinfo(key_dtype).max, key_dtype)
     k2, clen = jax.lax.sort(
-        (jnp.where(cell_start & in_corpus, s, big), cell_len),
+        (
+            jnp.where(cell_start & in_corpus & ~is_marker, s, big),
+            cell_len,
+        ),
         dimension=-1,
         num_keys=1,
     )
     present = k2 < big
-    cid = jnp.where(present, k2 // T2, 0).astype(jnp.int32)
-    cdt = jnp.where(present, k2 - cid.astype(key_dtype) * T2, T).astype(
-        jnp.int32
-    )
+    cid = jnp.where(present, k2 // T3, 0).astype(jnp.int32)
+    cdt = jnp.where(
+        present, k2 - cid.astype(key_dtype) * T3 - 1, T
+    ).astype(jnp.int32)
     clen = jnp.where(present & (cdt < T), clen, 0)
 
     # ---- rank of each cell's id within the candidate list. C is small
@@ -224,8 +252,8 @@ def _match_impl(
     # search (vmapped searchsorted is log2(C) rounds of serialized random
     # gathers, measured ~250 ms for 3.7M hits) and materializes no
     # (B, K, C) tensor.
-    is_cand = jnp.zeros((B, K), bool)
-    rank = jnp.zeros((B, K), jnp.int32)
+    is_cand = jnp.zeros((B, W), bool)
+    rank = jnp.zeros((B, W), jnp.int32)
     for c in range(C):  # candidate ids are unique per query
         m = cid == cand_sent[:, c][:, None]
         is_cand = is_cand | m
@@ -244,8 +272,8 @@ def _match_impl(
         )
 
     wcount = clen
-    hist_prev1 = jnp.zeros((B, K), jnp.int32)
-    hist_next1 = jnp.zeros((B, K), jnp.int32)
+    hist_prev1 = jnp.zeros((B, W), jnp.int32)
+    hist_next1 = jnp.zeros((B, W), jnp.int32)
     for o in range(1, window + 1):
         cid_p, cdt_p, len_p = (
             shifted(cid, o, -1), shifted(cdt, o, 0), shifted(clen, o, 0)
@@ -275,7 +303,7 @@ def _match_impl(
     # higher aligned count first, then the better-weighted candidate, then
     # (argmax first-wins) the earliest offset of that candidate
     bits = max(C, 2).bit_length()
-    score_dtype = jnp.int64 if (K << bits) >= 2**31 else jnp.int32
+    score_dtype = jnp.int64 if (W << bits) >= 2**31 else jnp.int32
     score = jnp.where(
         modes & is_cand & present,
         (wcount.astype(score_dtype) << bits)
