@@ -123,9 +123,11 @@ def bench_end_to_end_match(
     landmark hashing + batched DeviceMatcher against an indexed corpus, the
     full identification path of testing/audfprint_exps.py.
 
-    Batch sweep on one chip (r2): 196 q/s @ B=64, 319 q/s @ B=128,
-    188 q/s @ B=256 (the (B, hits, candidates) intermediates spill past
-    B=128) — 128 is the production default."""
+    Batch sweep on one chip (r3, scatter/gather-free matcher at the
+    reference's search-depth-100 candidate set): 418 q/s @ B=128,
+    400 q/s @ B=256 — 128 is the production default. At reference scale
+    (106k tracks, eff_depth 100) the same path measures 220 q/s
+    (examples/scale_out/results.json)."""
     import jax
 
     from musicfpaugment_tpu.afp.audfprint import (

@@ -233,6 +233,12 @@ def stage_match(args):
         keep = set(args.conditions.split(","))
         conditions = {k: v for k, v in conditions.items() if k in keep}
 
+    # warm up the fused program once (the first call pays trace+compile;
+    # per-condition numbers should be the steady identification rate)
+    warm = _make_queries(corpus_key, qidx[: args.batch], offsets[: args.batch],
+                         args.batch)
+    dm.match_waveforms(warm, shifts=args.shifts)
+
     results = state.get("conditions", {})
     for cond, params in conditions.items():
         if cond in results and not args.rerun:
@@ -249,6 +255,9 @@ def stage_match(args):
                 crops = fp.batch_augment_indexed(
                     crops[:, None, :], np.arange(s, s + len(tids))
                 )[:, 0, :]
+            # synchronize: augmentation dispatch is async, so without this
+            # the match timer absorbs the augment compute too
+            crops.block_until_ready()
             t0 = time.perf_counter()
             verdicts = dm.match_waveforms(crops, shifts=args.shifts)
             match_s += time.perf_counter() - t0

@@ -367,6 +367,39 @@ def test_pallas_prune_matches_scan(rng):
     assert (ref_b == pal_b).mean() > 0.9999
 
 
+def test_pallas_prune_matches_scan_long(rng):
+    """Track-length input (C=600 spans 3 column tiles incl. a ragged tail):
+    the envelope must carry across tile boundaries bit-exactly in both scan
+    directions."""
+    from scipy.ndimage import gaussian_filter
+
+    from musicfpaugment_tpu.afp.audfprint.peaks import (
+        backward_prune,
+        forward_prune,
+    )
+    from musicfpaugment_tpu.afp.audfprint.peaks_pallas import (
+        backward_prune_pallas,
+        forward_prune_pallas,
+    )
+
+    a_dec = float(1 - 0.01 * (20 * np.sqrt(256 / 352.8) / 35))
+    r = np.random.default_rng(11)
+    x = gaussian_filter(
+        r.standard_normal((2, 256, 600)), sigma=(0, 2.0, 1.5)
+    ).astype(np.float32) * 3
+    xj = jnp.asarray(x - x.mean(axis=(1, 2), keepdims=True))
+
+    ref_f = np.asarray(forward_prune(xj, a_dec, 30.0, 5))
+    pal_f = np.asarray(forward_prune_pallas(xj, a_dec, 30.0, 5, interpret=True))
+    assert (ref_f == pal_f).mean() > 0.9999
+
+    ref_b = np.asarray(backward_prune(xj, jnp.asarray(ref_f), a_dec, 30.0, 5))
+    pal_b = np.asarray(
+        backward_prune_pallas(xj, jnp.asarray(ref_f), a_dec, 30.0, 5, interpret=True)
+    )
+    assert (ref_b == pal_b).mean() > 0.9999
+
+
 def test_hashes_batch_device_matches_host(rng):
     """The vmapped device hasher must be bit-identical to the host oracle
     loop, including shift merging (analyzer.hashes_batch paths)."""
