@@ -123,10 +123,10 @@ def bench_end_to_end_match(
     landmark hashing + batched DeviceMatcher against an indexed corpus, the
     full identification path of testing/audfprint_exps.py.
 
-    Batch sweep on one chip (r3, scatter/gather-free matcher at the
-    reference's search-depth-100 candidate set): 418 q/s @ B=128,
-    400 q/s @ B=256 — 128 is the production default. At reference scale
-    (106k tracks, eff_depth 100) the same path measures 220 q/s
+    Batch sweep on one chip (r3, scatter/gather-free matcher + auto-tight
+    query-hash budget, at the reference's search-depth-100 candidate set):
+    700 q/s @ B=64, 814 @ B=128, 855 @ B=256 (monotone). At reference scale
+    (106k tracks, eff_depth 100) the same path measures 440-470 q/s
     (examples/scale_out/results.json)."""
     import jax
 

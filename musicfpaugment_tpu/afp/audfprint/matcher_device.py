@@ -449,9 +449,16 @@ class DeviceMatcher:
         is remote.
 
         ``max_query_hashes`` caps the per-query unique-hash budget fed to the
-        matcher (8 s @ density 20 yields well under 2k even at 4 shifts); a
-        query exceeding it is truncated after dedup, earliest hashes first —
-        same information the reference would use most of.
+        matcher; the effective budget is auto-tightened to
+        ``pow2ceil(3 * n_frames * shifts)`` (~1k for an 8 s query at one
+        shift) because the matcher's dominant cost — the single (B, H*depth
+        + num_ids) sort — scales linearly in the budget, while real queries
+        carry far fewer unique hashes than the worst-case bound (the
+        decaying-threshold pruner admits ~0.35 peaks/frame at density 20
+        against the 5/frame cap). A query exceeding the budget is truncated
+        after dedup, earliest hashes first, and the program counts how many
+        queries overflowed — the host warns, so exotic settings fail loud,
+        not silently (pass a larger ``max_query_hashes`` to widen).
 
         ``valid_samples`` (B,) int32 marks per-example real lengths for
         mixed-length batches stacked by ``analyzer.pad_waveform_batch`` —
@@ -468,8 +475,12 @@ class DeviceMatcher:
         # center padding): the histogram's negative-offset range must cover it
         n_frames = 1 + T // n_hop
         mqf = self._effective_mqf(n_frames - 1)
+        budget = min(
+            max_query_hashes,
+            1 << int(np.ceil(np.log2(max(3 * n_frames * max(1, shifts), 64)))),
+        )
         cache_key = ("e2e", T, shifts, density, n_fft, n_hop, f_sd,
-                     maxpksperframe, max_query_hashes, self.num_ids,
+                     maxpksperframe, budget, self.num_ids,
                      self.eff_depth, self.eff_maxtime, mqf, has_valid,
                      None if denoiser is None else id(denoiser))
         if cache_key not in self._e2e_cache:
@@ -514,7 +525,8 @@ class DeviceMatcher:
                     num_keys=1,
                     is_stable=True,
                 )
-                n = min(max_query_hashes, t.shape[-1])
+                n = min(budget, t.shape[-1])
+                n_overflow = jnp.sum(jnp.sum(v, axis=-1) > n)
                 return _match_impl(
                     table,
                     counts,
@@ -523,18 +535,27 @@ class DeviceMatcher:
                     h[..., :n],
                     v[..., :n],
                     **match_kw,
-                )
+                ) + (n_overflow,)
 
             self._e2e_cache[cache_key] = jax.jit(prog)
 
         vsamp = (
             jnp.asarray(valid_samples, jnp.int32) if has_valid else None
         )
-        best_id, best_count, _ = jax.device_get(
+        best_id, best_count, _, n_overflow = jax.device_get(
             self._e2e_cache[cache_key](
                 self._table, self._counts, self._hashesperid, waveforms, vsamp
             )
         )
+        if int(n_overflow):
+            import warnings
+
+            warnings.warn(
+                f"{int(n_overflow)}/{B} queries exceeded the {budget}-hash "
+                "budget and were truncated (earliest hashes kept); pass a "
+                "larger max_query_hashes if this is expected",
+                stacklevel=2,
+            )
         return [
             ("NOMATCH", "", 0)
             if best_id[i] < 0
