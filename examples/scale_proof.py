@@ -90,13 +90,9 @@ def _ingest_program(batch, num_samples):
             masks, max_peaks=max_peaks, max_hashes=max_peaks * lm.MAXPAIRSPERPEAK
         )
         t, h, v = lm.sort_dedup_hashes(th[..., 0], th[..., 1], v)
-        _, t, h, v = jax.lax.sort(
-            ((~v).astype(jnp.int32), t, h, v), dimension=-1, num_keys=1,
-            is_stable=True,
-        )
-        n = jnp.sum(v, axis=-1).astype(jnp.int32)
+        t, h, n = lm.compact_valid_first(t, h, v, out_len=HCAP)
         return (
-            jnp.stack([t[..., :HCAP], h[..., :HCAP]], axis=-1),
+            jnp.stack([t, h], axis=-1),
             jnp.minimum(n, HCAP),
             jnp.sum(n > HCAP),
         )
@@ -125,17 +121,30 @@ def stage_ingest(args):
     deadline = time.time() + args.minutes * 60
     batch_times = state.get("ingest_batch_seconds", [])
     overflow = state.get("hash_overflow", 0)
+
+    def _drain(pending):
+        nonlocal overflow
+        p_start, p_n, out = pending
+        th, counts, over = jax.device_get(out)
+        for j in range(p_n):
+            ht.store(f"t{p_start + j:06d}", th[j, : counts[j]])
+        overflow += int(over)
+
+    # software pipeline: batch k+1 is dispatched (async) before batch k's
+    # ~4 MB download + host store, so host work overlaps device compute
+    pending = None
+    t0 = time.perf_counter()
     while start < args.tracks and time.time() < deadline:
         n = min(args.batch, args.tracks - start)
         idx = np.arange(start, start + args.batch, dtype=np.int32)
-        t0 = time.perf_counter()
-        th, counts, over = jax.device_get(prog(corpus_key, idx))
-        for j in range(n):
-            ht.store(f"t{start + j:06d}", th[j, : counts[j]])
-        dt = time.perf_counter() - t0
-        batch_times.append(round(dt, 3))
-        overflow += int(over)
+        out = prog(corpus_key, idx)
+        if pending is not None:
+            _drain(pending)
+        pending = (start, n, out)
         start += n
+        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        batch_times.append(round(dt, 3))
         if len(batch_times) % 20 == 0 or start >= args.tracks:
             print(
                 f"ingested {start}/{args.tracks} "
@@ -143,6 +152,8 @@ def stage_ingest(args):
                 f"{ht.totalhashes()} hashes)",
                 flush=True,
             )
+    if pending is not None:
+        _drain(pending)
     ht.save(_table_path(args.workdir), compress=False)
     state.update(
         next_track=start,

@@ -217,6 +217,37 @@ def sort_dedup_hashes(
     return times, hashes, valid & ~jnp.concatenate([pad, dup], axis=-1)
 
 
+def compact_valid_first(
+    times: Array, hashes: Array, valid: Array, out_len: int = 0
+) -> Tuple[Array, Array, Array]:
+    """Pack each row's valid (time, hash) entries to the front, preserving
+    order, into an ``out_len``-wide buffer (default: same width).
+
+    Replaces the stable sort-on-validity compaction: each valid entry's
+    target slot is its rank (cumsum) — a scatter with provably unique
+    indices (invalid entries get distinct out-of-range sentinels, the
+    ``_bincount_rows`` trick), which runs ~3x faster than the 4-operand
+    (B, K) sort it replaces. Valid entries past ``out_len`` are dropped by
+    the scatter's bounds check; callers detect that via the returned count.
+
+    Returns (times (B, out_len), hashes (B, out_len), n_valid (B,)) — slots
+    at or past ``n_valid`` (clipped to out_len) are zero.
+    """
+    B, K = times.shape
+    out_len = out_len or K
+    ranks = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+    pos = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
+    tgt = jnp.where(valid, ranks - 1, out_len + pos)
+    bidx = jnp.arange(B)[:, None]
+    t_out = jnp.zeros((B, out_len), times.dtype).at[bidx, tgt].set(
+        times, mode="drop", unique_indices=True
+    )
+    h_out = jnp.zeros((B, out_len), hashes.dtype).at[bidx, tgt].set(
+        hashes, mode="drop", unique_indices=True
+    )
+    return t_out, h_out, ranks[:, -1]
+
+
 def hashes_from_masks_batched(
     masks: Array, max_peaks: int, max_hashes: int, window: int = 320
 ) -> Tuple[Array, Array]:

@@ -513,27 +513,24 @@ class DeviceMatcher:
                 th = jnp.concatenate(th_parts, axis=1)  # (B, N, 2)
                 valid = jnp.concatenate(valid_parts, axis=1)
                 # cross-shift dedup of repeated (time, hash) pairs
-                # (ref: peak_extractor.py:449-460), then gather-free
-                # compaction: a stable sort on the validity flag moves valid
-                # rows to the front so the fixed hash budget is a slice
+                # (ref: peak_extractor.py:449-460), then rank-scatter
+                # compaction straight into the budget-wide buffer (order
+                # preserved: earliest hashes first, as the stable-sort
+                # formulation this replaced)
                 t, h, v = _lm.sort_dedup_hashes(
                     th[..., 0], th[..., 1], valid
                 )
-                _, t, h, v = jax.lax.sort(
-                    ((~v).astype(jnp.int32), t, h, v),
-                    dimension=-1,
-                    num_keys=1,
-                    is_stable=True,
-                )
                 n = min(budget, t.shape[-1])
-                n_overflow = jnp.sum(jnp.sum(v, axis=-1) > n)
+                t, h, nv = _lm.compact_valid_first(t, h, v, out_len=n)
+                n_overflow = jnp.sum(nv > n)
+                vq = jnp.arange(n)[None, :] < jnp.minimum(nv, n)[:, None]
                 return _match_impl(
                     table,
                     counts,
                     hashesperid,
-                    t[..., :n],
-                    h[..., :n],
-                    v[..., :n],
+                    t,
+                    h,
+                    vq,
                     **match_kw,
                 ) + (n_overflow,)
 

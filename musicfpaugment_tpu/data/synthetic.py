@@ -72,7 +72,7 @@ def synth_tracks_device(
     import jax.numpy as jnp
 
     n_notes = max(4, num_samples * notes_per_second // sample_rate)
-    t = jnp.arange(num_samples, dtype=jnp.float32)
+    B = indices.shape[0]
 
     def one_track_params(idx):
         k = jax.random.fold_in(base_key, idx)
@@ -90,16 +90,58 @@ def synth_tracks_device(
 
     f, start, dur, amp = jax.vmap(one_track_params)(indices)  # (B, n_notes)
 
-    def add_note(acc, note):
-        nf, ns, nd, na = note  # (B,) each
-        rel = t[None, :] - ns[:, None]  # (B, T)
-        env = jnp.exp(-8.0 * rel / sample_rate)
-        tone = jnp.sin(2.0 * jnp.pi * nf[:, None] * rel / sample_rate)
-        gate = (rel >= 0.0) & (rel < nd[:, None])
-        return acc + jnp.where(gate, na[:, None] * tone * env, 0.0), None
+    # A note is at most dur < sample_rate/4 samples long, so evaluating it
+    # on a full (B, T) row per note (the obvious scan) wastes ~T/dur = 120x
+    # the transcendental work for 30 s tracks. Instead each note is
+    # evaluated on a 2L-sample local window anchored to an L-frame boundary
+    # and placed into its two covering frames with one-hot matmuls — the
+    # MXU does the scatter. Same formula inside the gate, so content is
+    # identical up to float summation order; measured 17x faster at
+    # (128, 240k): 521 -> 31 ms/batch.
+    L = 1 << int(np.ceil(np.log2(sample_rate // 4 + 2)))  # covers max dur
+    n_frames = -(-num_samples // L) + 1  # +1: windows spill one frame right
+    NC = 64  # notes per scan chunk bounds the (B, NC, 2L) live buffer
+    n_chunks = -(-n_notes // NC)
+    pad = n_chunks * NC - n_notes
 
-    notes = (f.T, start.T, dur.T, amp.T)  # scan over the note axis
-    init = jnp.zeros((indices.shape[0], num_samples), jnp.float32)
-    acc, _ = jax.lax.scan(add_note, init, notes)
+    def padc(x):  # pad with gate-dead notes (dur 0)
+        return jnp.pad(x, ((0, 0), (0, pad))).reshape(B, n_chunks, NC)
+
+    fc, sc, dc, ac = padc(f), padc(start), padc(dur), padc(amp)
+    j2 = jnp.arange(2 * L, dtype=jnp.float32)
+    frame_ids = jnp.arange(n_frames, dtype=jnp.int32)
+
+    def add_chunk(acc, chunk):
+        nf, ns, nd, na = chunk  # (B, NC) each
+        fk = jnp.floor(ns / L).astype(jnp.int32)  # anchor frame
+        rel = (fk * L)[..., None].astype(jnp.float32) - ns[..., None] + j2
+        gate = (rel >= 0.0) & (rel < nd[..., None])
+        phase = rel / sample_rate
+        val = jnp.where(
+            gate,
+            na[..., None]
+            * jnp.sin(2.0 * jnp.pi * nf[..., None] * phase)
+            * jnp.exp(-8.0 * phase),
+            0.0,
+        )  # (B, NC, 2L)
+        oh0 = (fk[..., None] == frame_ids).astype(jnp.float32)
+        oh1 = (fk[..., None] + 1 == frame_ids).astype(jnp.float32)
+        acc = acc + jnp.einsum(
+            "bnl,bnf->bfl", val[..., :L], oh0,
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jnp.einsum(
+            "bnl,bnf->bfl", val[..., L:], oh1,
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    init = jnp.zeros((B, n_frames, L), jnp.float32)
+    chunks = (
+        jnp.moveaxis(fc, 1, 0), jnp.moveaxis(sc, 1, 0),
+        jnp.moveaxis(dc, 1, 0), jnp.moveaxis(ac, 1, 0),
+    )
+    acc, _ = jax.lax.scan(add_chunk, init, chunks)
+    acc = acc.reshape(B, n_frames * L)[:, :num_samples]
     peak = jnp.max(jnp.abs(acc), axis=-1, keepdims=True)
     return (acc / jnp.maximum(peak, 1e-9)).astype(jnp.float32)

@@ -490,3 +490,28 @@ def test_mixed_length_accuracy_matches_per_file(rng):
     assert verdicts_fused == solo_verdicts
     for v, gt in zip(verdicts_fused, gts):
         assert v[0] == "MATCH" and v[1] == gt
+
+
+def test_compact_valid_first_matches_stable_sort(rng):
+    """The rank-scatter compaction must reproduce the stable
+    sort-on-validity formulation exactly: valid rows packed first in
+    original order, truncation keeps the earliest entries."""
+    import jax
+
+    from musicfpaugment_tpu.afp.audfprint import landmarks as lm
+
+    r = np.random.default_rng(5)
+    B, K = 7, 100
+    t = jnp.asarray(r.integers(0, 50, (B, K)).astype(np.int32))
+    h = jnp.asarray(r.integers(0, 1 << 20, (B, K)).astype(np.int32))
+    v = jnp.asarray(r.random((B, K)) < 0.4)
+    for out_len in (K, 17):
+        tc, hc, n = jax.device_get(lm.compact_valid_first(t, h, v, out_len))
+        tn, hn, vn = np.asarray(t), np.asarray(h), np.asarray(v)
+        for b in range(B):
+            keep_t, keep_h = tn[b][vn[b]], hn[b][vn[b]]
+            m = min(len(keep_t), out_len)
+            assert n[b] == vn[b].sum()
+            np.testing.assert_array_equal(tc[b, :m], keep_t[:m])
+            np.testing.assert_array_equal(hc[b, :m], keep_h[:m])
+            assert (tc[b, m:] == 0).all() and (hc[b, m:] == 0).all()

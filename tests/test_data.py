@@ -145,3 +145,28 @@ def test_audio_loader_dict_input(rng):
         {"samples": samples, "sample_rate": SR}, sample_offset=10, num_samples=100
     )
     np.testing.assert_allclose(out2[0], samples[0, 10:110], atol=1e-6)
+
+
+def test_synth_tracks_device_properties():
+    """Device corpus generator: track i is a pure function of
+    fold_in(key, i) — batch-size invariant, deterministic, peak-normalized,
+    onset-rich (it must yield enough landmark peaks to index)."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu.data.synthetic import synth_tracks_device
+
+    key = jax.random.PRNGKey(7)
+    T = 4 * 8000
+    a = np.asarray(synth_tracks_device(key, jnp.arange(6), T, 8000))
+    b = np.asarray(synth_tracks_device(key, jnp.arange(2, 5), T, 8000))
+    assert a.shape == (6, T)
+    np.testing.assert_array_equal(a[2:5], b)  # batch-size invariance
+    c = np.asarray(synth_tracks_device(key, jnp.arange(6), T, 8000))
+    np.testing.assert_array_equal(a, c)  # determinism
+    peaks = np.abs(a).max(axis=1)
+    np.testing.assert_allclose(peaks, 1.0, atol=1e-5)  # normalized
+    # distinct tracks
+    assert np.abs(a[0] - a[1]).max() > 0.1
+    # onset-rich: a healthy fraction of nonzero samples
+    assert (np.abs(a) > 1e-4).mean() > 0.3
