@@ -182,6 +182,73 @@ def bench_end_to_end_match(
     return qps
 
 
+def bench_dejavu_match(
+    n_tracks: int = 256, batch_size: int = 128, seconds: int = 8, sr: int = 8000
+):
+    """Dejavu waveform -> verdict throughput through the fused
+    DejavuDeviceMatcher (afp/dejavu/matcher_device.py): PSD specgram +
+    max-filter peaks + packed hashing + CSR-index matching in one XLA
+    program. The reference recognizes per file through SQL
+    (dejavu.py:295-378)."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu.afp.dejavu import (
+        DejavuDeviceIndex,
+        DejavuDeviceMatcher,
+    )
+
+    from musicfpaugment_tpu.data.synthetic import synth_tracks_device
+
+    rng = np.random.default_rng(7)
+    key = jax.random.PRNGKey(77)
+    idx = DejavuDeviceIndex()
+    t0 = time.perf_counter()
+    last_tracks = None
+    for start in range(0, n_tracks, batch_size):
+        tracks = synth_tracks_device(
+            key, jnp.arange(start, start + batch_size), 12 * sr, sr
+        )
+        idx.ingest_arrays(
+            [f"d{start + i:05d}" for i in range(batch_size)], tracks
+        )
+        last_tracks = np.asarray(tracks)
+    starts, rows, nbuckets, depth = idx.finalize()
+    log(
+        f"dejavu: indexed {n_tracks} tracks in {time.perf_counter() - t0:.1f}s "
+        f"({rows.size} rows, bucket depth {depth}, "
+        f"{idx.rows_dropped} hot-key rows dropped)"
+    )
+    dm = DejavuDeviceMatcher(idx)
+    # queries: crops of indexed tracks — a realistic (all-MATCH) hit load
+    qs = [
+        jnp.asarray(
+            last_tracks[:, o : o + seconds * sr]
+            + 0.01
+            * rng.standard_normal((batch_size, seconds * sr)).astype(
+                np.float32
+            )
+        )
+        for o in (0, sr, 2 * sr, 3 * sr)
+    ]
+    _ = [float(q[0, 0]) for q in qs]
+    t0 = time.perf_counter()
+    _ = dm.match_waveforms(qs[0])
+    log(f"dejavu fused match compile+first batch: {time.perf_counter() - t0:.1f}s")
+    iters = 16
+    t0 = time.perf_counter()
+    for i in range(iters):
+        verdicts = dm.match_waveforms(qs[i % len(qs)])
+    dt = time.perf_counter() - t0
+    qps = batch_size * iters / dt
+    n_match = sum(bool(v) for v in verdicts)
+    log(
+        f"dejavu waveform->verdict (fused): {qps:.0f} queries/s "
+        f"(batch {batch_size}, {n_match}/{batch_size} crop queries matched)"
+    )
+    return qps
+
+
 def bench_torch_reference_step(model_name: str = "unet", sr: int = 8000):
     """Measured reference (torch) train-step baseline on this host (VERDICT
     r1 #7): runs the reference's own UNet/Demucs modules
@@ -391,6 +458,10 @@ def main() -> None:
         bench_end_to_end_match()
     except Exception as e:
         log(f"end-to-end match bench skipped: {e}")
+    try:
+        bench_dejavu_match()
+    except Exception as e:
+        log(f"dejavu match bench skipped: {e}")
     print(_headline(clips_per_sec), flush=True)
 
 

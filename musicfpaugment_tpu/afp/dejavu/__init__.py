@@ -11,6 +11,11 @@ from musicfpaugment_tpu.afp.dejavu.fingerprint import (
     fingerprint_spectrogram_batch,
     generate_hashes,
     pack_hashes,
+    pack_hashes_from_masks,
+)
+from musicfpaugment_tpu.afp.dejavu.matcher_device import (
+    DejavuDeviceIndex,
+    DejavuDeviceMatcher,
 )
 from musicfpaugment_tpu.afp.dejavu.sqlite_database import SQLiteDatabase
 
@@ -25,5 +30,8 @@ __all__ = [
     "fingerprint_spectrogram_batch",
     "generate_hashes",
     "pack_hashes",
+    "pack_hashes_from_masks",
+    "DejavuDeviceIndex",
+    "DejavuDeviceMatcher",
     "SQLiteDatabase",
 ]

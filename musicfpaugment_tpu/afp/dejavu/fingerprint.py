@@ -201,6 +201,77 @@ def pack_hashes(
     return out
 
 
+def pack_hashes_from_masks(
+    masks: Array, max_peaks: int, fan_value: int = 3
+) -> Tuple[Array, Array, Array, Array, Array, Array]:
+    """Device-side, batched :func:`pack_hashes`: (B, F, C) peak masks ->
+    deduped packed query hashes, entirely inside one XLA program.
+
+    Peak ordering replicates the host path exactly (ref:
+    fingerprint.py:140-152 + the stable time-sort in generate_hashes,
+    fingerprint.py:174-213): ``np.nonzero`` emits freq-major order and the
+    stable sort by time yields (time, freq)-ascending — here the mask is
+    transposed to (C, F) and compacted row-major, which is the same order.
+    Each peak pairs with its ``fan_value - 1`` successors; pairs with
+    ``MIN_HASH_TIME_DELTA <= dt <= MAX_HASH_TIME_DELTA`` become the
+    injective 26-bit key ``(f1 << 17) | (f2 << 8) | dt`` — a bijection of
+    the (f1, f2, dt) triple the SHA1 string encodes, so match sets are
+    identical to the hex-hash path.
+
+    The output is deduplicated by (key, t1) — the ``set(fingerprints)``
+    in both ingestion (dejavu.py ``get_file_fingerprints``) and query
+    (``BaseRecognizer._recognize``) — via one 2-key sort; invalid slots
+    sort to the back.
+
+    Returns ``(keys, t1, valid, key_first, n_distinct, n_peak_overflow)``:
+    (B, H = max_peaks * (fan_value - 1)) arrays sorted by (key, t1);
+    ``key_first`` marks the first occurrence of each distinct key (the
+    unit ``return_matches`` counts ``dedup_hashes`` in — one per fetched
+    DB row, not per query offset); ``n_distinct`` is the per-query count
+    of deduped hashes; ``n_peak_overflow`` counts queries whose peaks
+    exceeded ``max_peaks`` (truncated earliest-first, fail-loud).
+    """
+    from musicfpaugment_tpu.afp.audfprint.landmarks import compact_valid_first
+
+    B, F, C = masks.shape
+    m = jnp.swapaxes(masks, -1, -2).reshape(B, C * F)  # row-major = (t, f)
+    flat = jnp.arange(C * F, dtype=jnp.int32)
+    tpos = jnp.broadcast_to((flat // F)[None, :], (B, C * F))
+    fpos = jnp.broadcast_to((flat % F)[None, :], (B, C * F))
+    pt, pf, npk = compact_valid_first(tpos, fpos, m, out_len=max_peaks)
+    n_peak_overflow = jnp.sum(npk > max_peaks)
+    vpk = jnp.arange(max_peaks)[None, :] < jnp.minimum(npk, max_peaks)[:, None]
+
+    key_parts, t_parts, ok_parts = [], [], []
+    for j in range(1, fan_value):
+        f2 = jnp.concatenate([pf[:, j:], jnp.zeros((B, j), pf.dtype)], axis=1)
+        t2 = jnp.concatenate([pt[:, j:], jnp.zeros((B, j), pt.dtype)], axis=1)
+        v2 = jnp.concatenate([vpk[:, j:], jnp.zeros((B, j), bool)], axis=1)
+        dt = t2 - pt  # >= 0 by (t, f)-ascending peak order
+        ok = (
+            vpk
+            & v2
+            & (dt >= MIN_HASH_TIME_DELTA)
+            & (dt <= MAX_HASH_TIME_DELTA)
+        )
+        key_parts.append(
+            jnp.where(ok, (pf << 17) | (f2 << 8) | dt, jnp.int32(1 << 30))
+        )
+        t_parts.append(pt)
+        ok_parts.append(ok)
+    keys = jnp.concatenate(key_parts, axis=1)
+    t1 = jnp.concatenate(t_parts, axis=1)
+    skey, st = jax.lax.sort((keys, t1), dimension=-1, num_keys=2)
+    in_range = skey < (1 << 30)
+    prev_k = jnp.concatenate([jnp.full((B, 1), -1, skey.dtype), skey[:, :-1]], 1)
+    prev_t = jnp.concatenate([jnp.full((B, 1), -1, st.dtype), st[:, :-1]], 1)
+    dup = (skey == prev_k) & (st == prev_t)
+    valid = in_range & ~dup
+    key_first = valid & (skey != prev_k)
+    n_distinct = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    return skey, st, valid, key_first, n_distinct, n_peak_overflow
+
+
 def fingerprint(
     channel_samples,
     Fs: float = 8000,

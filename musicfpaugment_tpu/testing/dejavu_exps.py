@@ -81,6 +81,72 @@ def compute_accuracy(audio_paths: List[str], djv: Dejavu, djv2: Dejavu) -> Dict[
     }
 
 
+def compute_accuracy_batched(
+    audio_paths: List[str],
+    matcher_no_den,
+    matcher_den,
+    batch_size: int = 64,
+) -> Dict[str, float]:
+    """Batched counterpart of :func:`compute_accuracy` through the fused
+    :class:`~musicfpaugment_tpu.afp.dejavu.DejavuDeviceMatcher` path —
+    whole query batches go waveform -> verdict in one XLA program per
+    matcher (ref per-file flow: dejavu_exps.py:21-79, including the mix
+    rule on ``nb_matches_with_offset``). Queries are loaded through the
+    recognizer's own :func:`~musicfpaugment_tpu.afp.dejavu.dejavu.read`
+    (wav/pkl/npy, mono downmix, int16 scaling)."""
+    from musicfpaugment_tpu.afp.dejavu.dejavu import read as djv_read
+
+    sr = matcher_no_den.settings["samplerate"]
+    tp_no = tp_den = tp_mix = 0
+    for start in range(0, len(audio_paths), batch_size):
+        chunk = audio_paths[start : start + batch_size]
+        loaded = [djv_read(p, sample_rate=sr)[0][0] for p in chunk]
+        if len({w.shape[0] for w in loaded}) != 1:
+            raise ValueError(
+                "compute_accuracy_batched requires uniform query lengths "
+                "within a chunk (all reference query sets are uniform); "
+                "use compute_accuracy for mixed lengths"
+            )
+        wavs = np.stack(loaded)
+        v1 = matcher_no_den.recognize_waveforms(wavs)
+        v2 = matcher_den.recognize_waveforms(wavs)
+        for path, r1, r2 in zip(chunk, v1, v2):
+            gt = str(path).split("/")[-1].split(".")[0]
+            name1 = (
+                r1["results"][0]["song_name"].decode("utf-8")
+                if r1["match"]
+                else ""
+            )
+            n1 = (
+                r1["results"][0]["nb_matches_with_offset"]
+                if r1["match"]
+                else 0
+            )
+            name2 = (
+                r2["results"][0]["song_name"].decode("utf-8")
+                if r2["match"]
+                else ""
+            )
+            n2 = (
+                r2["results"][0]["nb_matches_with_offset"]
+                if r2["match"]
+                else 0
+            )
+            tp_no += name1 == gt and r1["match"]
+            tp_den += name2 == gt and r2["match"]
+            if n1 >= n2:
+                pred, matched = name1, r1["match"]
+            else:
+                pred, matched = name2, r2["match"]
+            tp_mix += matched and pred == gt
+    n = max(len(audio_paths), 1)
+    return {
+        "No Denoising": tp_no / n,
+        "With Denoising": tp_den / n,
+        "Mix Pipeline": tp_mix / n,
+    }
+
+
 def compute_peaks_metrics(
     queries_augmented: List[str],
     djv_no_den: Dejavu,
