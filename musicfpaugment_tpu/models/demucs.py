@@ -133,12 +133,14 @@ class Demucs(nn.Module):
 
         x = jnp.swapaxes(x, 1, 2)  # -> (B, T, C)
         if self.dtype is not None:
-            # sinc resampling stays f32 (FFT convolution; RFFT has no bf16
-            # lowering) — the encoder/LSTM/decoder stack computes in bf16.
-            # Stage profile (examples/profile_demucs.py, on chip): the step
-            # is bound by the memory-bound conv/resample frontend and the
-            # MR-STFT loss FFTs, NOT the BLSTM (13 ms of a 108 ms f32
-            # fwd+bwd), so bf16's win here is 1.35x (6.2 -> 8.4 steps/s).
+            # sinc resampling stays f32 — the encoder/LSTM/decoder stack
+            # computes in bf16. Stage profile (examples/profile_demucs.py,
+            # on chip): the step is frontend/loss-bound, NOT BLSTM-bound
+            # (13 ms of a 108 ms f32 fwd+bwd). Moving the sinc pair to a
+            # Toeplitz matmul (core/convolve.toeplitz_conv1d) and the
+            # MR-STFT loss to windowed DFT matmuls (losses.
+            # stft_magnitude_matmul) took the step from 6.21 -> 8.47
+            # steps/s f32 and 8.37 -> 12.92 steps/s bf16 on one chip.
             x = x.astype(self.dtype)
         ch_scale = 2 if self.glu else 1
         act = _glu if self.glu else nn.relu

@@ -32,10 +32,73 @@ def _torch_hann_padded(win_length: int, fft_size: int) -> np.ndarray:
     return out
 
 
-def stft_magnitude(
+@functools.lru_cache(maxsize=None)
+def _windowed_dft_mats(win_length: int, fft_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(win_length, fft_size//2 + 1) cos/sin DFT matrices with the periodic
+    Hann folded in. Only the window's support contributes — torch.stft's
+    centered zero-padding to ``fft_size`` is a pure time shift, which the
+    magnitude is invariant to — so the matmul contracts over ``win_length``
+    samples, not ``fft_size``."""
+    win = 0.5 * (
+        1.0 - np.cos(2.0 * np.pi * np.arange(win_length) / win_length)
+    )
+    t = np.arange(win_length)[:, None]
+    k = np.arange(fft_size // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * t * k / fft_size
+    return (
+        (win[:, None] * np.cos(ang)).astype(np.float32),
+        (win[:, None] * np.sin(ang)).astype(np.float32),
+    )
+
+
+def stft_magnitude_matmul(
     x: Array, fft_size: int, hop_size: int, win_length: int
 ) -> Array:
-    """(B, T) -> (B, frames, bins) clamped magnitude (ref: loss.py:10-41)."""
+    """MXU formulation of :func:`stft_magnitude`: window-support frames
+    times windowed cos/sin DFT matrices, |.| from the two products. TPU has
+    no MXU lowering for FFT — the rfft runs on the memory-bound VPU — while
+    this is two (B*frames, win_length) x (win_length, bins) matmuls the MXU
+    streams at FLOP speed; measured ~1.5x the whole Demucs train step (see
+    models/demucs.py stage notes). Numerically within ~1e-4 of the rfft
+    path (float-sum order; parity test pins it)."""
+    from musicfpaugment_tpu.core.stft import frame
+
+    mc, ms = _windowed_dft_mats(win_length, fft_size)
+    pad = [(0, 0)] * (x.ndim - 1) + [(fft_size // 2, fft_size // 2)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    num_frames = 1 + (xp.shape[-1] - fft_size) // hop_size
+    left = (fft_size - win_length) // 2
+    frames = frame(
+        xp[..., left : left + (num_frames - 1) * hop_size + win_length],
+        win_length,
+        hop_size,
+    )
+    re = jnp.einsum(
+        "...tw,wk->...tk", frames, jnp.asarray(mc),
+        preferred_element_type=jnp.float32,
+    )
+    im = jnp.einsum(
+        "...tw,wk->...tk", frames, jnp.asarray(ms),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.sqrt(jnp.clip(re * re + im * im, min=1e-7))
+
+
+def stft_magnitude(
+    x: Array, fft_size: int, hop_size: int, win_length: int, use_matmul=None
+) -> Array:
+    """(B, T) -> (B, frames, bins) clamped magnitude (ref: loss.py:10-41).
+
+    ``use_matmul=None`` auto-selects the MXU DFT-matmul formulation on TPU
+    backends (:func:`stft_magnitude_matmul`) and the rfft path elsewhere.
+    """
+    if use_matmul is None:
+        import jax
+
+        # "axon" is this image's remote-TPU platform name
+        use_matmul = jax.default_backend() in ("tpu", "axon")
+    if use_matmul:
+        return stft_magnitude_matmul(x, fft_size, hop_size, win_length)
     window = jnp.asarray(_torch_hann_padded(win_length, fft_size))
     spec = _stft(x, n_fft=fft_size, hop_length=hop_size, window=window)
     mag = jnp.sqrt(jnp.clip(jnp.abs(spec) ** 2, min=1e-7))

@@ -256,3 +256,18 @@ def test_resample_frac_downsample_antialias(rng):
     hi = np.sin(2 * np.pi * 3500 * t).astype(np.float32)  # above 2 kHz Nyquist
     y = np.asarray(core.resample_frac(jnp.asarray(hi), sr_in, sr_out))
     assert np.sqrt(np.mean(y**2)) < 0.05
+
+
+def test_toeplitz_conv1d_matches_fft_convolve(rng):
+    """The MXU Toeplitz formulation must reproduce fft_convolve for every
+    mode at non-multiple-of-block lengths."""
+    from musicfpaugment_tpu.core.convolve import fft_convolve, toeplitz_conv1d
+
+    for m, n, block in [(500, 112, 128), (1024, 7, 512), (65, 65, 32)]:
+        x = jnp.asarray(rng.standard_normal((2, 3, m)).astype(np.float32))
+        k = rng.standard_normal(n).astype(np.float32)
+        for mode in ("full", "valid", "same"):
+            want = np.asarray(fft_convolve(x, jnp.asarray(k), mode=mode))
+            got = np.asarray(toeplitz_conv1d(x, k, mode=mode, block=block))
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

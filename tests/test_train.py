@@ -310,3 +310,17 @@ def test_banks_are_step_arguments_not_constants(tmp_path):
     assert float(terms_oracle["loss"]) == pytest.approx(
         float(terms1["loss"]), rel=1e-6
     )
+
+
+def test_stft_magnitude_matmul_matches_rfft(rng):
+    """The MXU DFT-matmul formulation (the TPU default for the MR-STFT
+    loss) must agree with the rfft path at every loss resolution — the
+    centered zero-padding it drops is a pure phase shift."""
+    from musicfpaugment_tpu.train.losses import stft_magnitude
+
+    x = jnp.asarray(rng.standard_normal((2, 24000)).astype(np.float32))
+    for fs, ss, wl in ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240)):
+        a = np.asarray(stft_magnitude(x, fs, ss, wl, use_matmul=False))
+        b = np.asarray(stft_magnitude(x, fs, ss, wl, use_matmul=True))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, atol=5e-5, rtol=1e-4)
