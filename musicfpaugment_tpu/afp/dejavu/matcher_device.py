@@ -235,14 +235,22 @@ class DejavuDeviceIndex:
     # ------------------------------------------------------------ io
 
     def save(self, path: str) -> None:
-        starts, rows, nbuckets, depth = self.finalize()
+        """Atomic raw-format save (pre-CSR): cheap to checkpoint mid-ingest
+        — finalize() is deferred to the loader. A torn write never corrupts
+        the previous checkpoint (tmp + os.replace)."""
+        keys = (
+            np.concatenate(self._keys) if self._keys else np.zeros(0, np.int32)
+        )
+        offs = (
+            np.concatenate(self._offs) if self._offs else np.zeros(0, np.int32)
+        )
+        counts = np.asarray([k.size for k in self._keys], np.int64)
         tmp = str(path) + ".tmp.npz"
         np.savez(
             tmp[:-4],
-            starts=starts,
-            rows=rows,
-            nbuckets=np.int64(nbuckets),
-            depth=np.int64(depth),
+            keys=keys,
+            offs=offs,
+            song_counts=counts,
             timebits=np.int64(self.timebits),
             max_rows_per_hash=np.int64(self.max_rows_per_hash),
             names=np.asarray(self.names, object),
@@ -261,12 +269,9 @@ class DejavuDeviceIndex:
             )
             idx.names = [str(n) for n in z["names"]]
             idx.total_hashes = [int(n) for n in z["total_hashes"]]
-            idx._frozen = (
-                z["starts"],
-                z["rows"],
-                int(z["nbuckets"]),
-                int(z["depth"]),
-            )
+            splits = np.cumsum(z["song_counts"])[:-1]
+            idx._keys = [a.astype(np.int32) for a in np.split(z["keys"], splits)]
+            idx._offs = [a.astype(np.int32) for a in np.split(z["offs"], splits)]
         return idx
 
 
