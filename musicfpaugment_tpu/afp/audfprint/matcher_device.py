@@ -338,6 +338,14 @@ class DeviceMatcher:
     histograms; it is auto-raised per call to cover the actual query length
     (a query time >= the static bound would otherwise silently lose late-
     query hits relative to the reference's unbounded offset bincount).
+
+    ``mesh``: an optional 1-D ``jax.sharding.Mesh`` — the multi-chip serving
+    layout. The fused ``match_waveforms`` program is then jitted with the
+    query batch sharded over the mesh's first axis and the table replicated,
+    so XLA SPMD-partitions peaks/hashing/matching per shard with zero
+    collectives on the hot path (every query's work is independent; only
+    the overflow-count psum crosses chips). Batch size must divide by the
+    mesh size; verdicts are bit-identical to the single-device program.
     """
 
     def __init__(
@@ -348,6 +356,7 @@ class DeviceMatcher:
         threshcount: int = 5,
         max_query_frames: int = 512,
         search_depth: int = 100,
+        mesh=None,
     ) -> None:
         self.ht = hash_table
         self.window = window
@@ -357,6 +366,7 @@ class DeviceMatcher:
             max_candidates if max_candidates is not None else search_depth
         )
         self.max_query_frames = max_query_frames
+        self.mesh = mesh
         self.maxtimebits = hash_table.maxtimebits
         self.num_ids = max(len(hash_table.names), 1)
         # device-resident state (uploaded once; refresh() after new ingests)
@@ -534,7 +544,19 @@ class DeviceMatcher:
                     **match_kw,
                 ) + (n_overflow,)
 
-            self._e2e_cache[cache_key] = jax.jit(prog)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                dat = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                self._e2e_cache[cache_key] = jax.jit(
+                    prog,
+                    in_shardings=(rep, rep, rep, dat, dat),
+                    out_shardings=(dat, dat, dat, rep),
+                )
+            else:
+                self._e2e_cache[cache_key] = jax.jit(prog)
 
         vsamp = (
             jnp.asarray(valid_samples, jnp.int32) if has_valid else None

@@ -373,6 +373,13 @@ class DejavuDeviceMatcher:
     query leave the device. ``spec_denoiser`` hooks the UNet spectrogram
     denoiser exactly where the host pipeline applies it
     (fingerprint.py:70-75).
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` for multi-chip serving —
+    queries shard over the mesh's first axis, the CSR corpus replicates,
+    and the per-query work partitions with no hot-path collectives (same
+    layout as the audfprint :class:`~musicfpaugment_tpu.afp.audfprint.
+    matcher_device.DeviceMatcher`). Batch size must divide by the mesh
+    size; results are bit-identical to the single-device program.
     """
 
     def __init__(
@@ -381,12 +388,14 @@ class DejavuDeviceMatcher:
         settings: Optional[Dict[str, Any]] = None,
         spec_denoiser: Optional[Callable[[Array], Array]] = None,
         max_query_frames: int = 512,
+        mesh=None,
     ) -> None:
         self.index = index
         self.settings = dict(DEFAULT_SETTINGS)
         self.settings.update(settings or {})
         self.spec_denoiser = spec_denoiser
         self.max_query_frames = max_query_frames
+        self.mesh = mesh
         self.refresh()
 
     def refresh(self) -> None:
@@ -458,7 +467,19 @@ class DejavuDeviceMatcher:
                     starts, rows, keys, t1, valid, kf, **match_kw
                 ) + (n_distinct, n_over)
 
-            self._e2e_cache[cache_key] = jax.jit(prog)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                dat = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                self._e2e_cache[cache_key] = jax.jit(
+                    prog,
+                    in_shardings=(rep, rep, dat),
+                    out_shardings=(dat, dat, dat, dat, dat, rep),
+                )
+            else:
+                self._e2e_cache[cache_key] = jax.jit(prog)
 
         best_sid, best_count, best_dt, dedup_best, n_distinct, n_over = (
             jax.device_get(

@@ -93,10 +93,16 @@ def stft_magnitude(
     backends (:func:`stft_magnitude_matmul`) and the rfft path elsewhere.
     """
     if use_matmul is None:
-        import jax
+        import os
 
-        # "axon" is this image's remote-TPU platform name
-        use_matmul = jax.default_backend() in ("tpu", "axon")
+        env = os.environ.get("MFPA_STFT_MATMUL")
+        if env in ("0", "1"):
+            use_matmul = env == "1"
+        else:
+            import jax
+
+            # "axon" is this image's remote-TPU platform name
+            use_matmul = jax.default_backend() in ("tpu", "axon")
     if use_matmul:
         return stft_magnitude_matmul(x, fft_size, hop_size, win_length)
     window = jnp.asarray(_torch_hann_padded(win_length, fft_size))
