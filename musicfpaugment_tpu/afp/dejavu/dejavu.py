@@ -60,10 +60,15 @@ def read(
     denoising_model: str = "unet",
     wave_denoiser: Optional[Callable] = None,
     sample_rate: int = 8000,
+    int16_scale: bool = True,
 ) -> Tuple[List[np.ndarray], int, str]:
     """Load audio as int16-scaled channels (ref: dejavu.py:66-117):
     pkl/npy/wav/array -> mono at ``sample_rate`` x 32767, optional Demucs
-    waveform denoising. Returns (channels, sr, content sha1)."""
+    waveform denoising. Returns (channels, sr, content sha1).
+
+    ``int16_scale=False`` returns the raw float waveform (no x 32767) so
+    batched callers can defer scaling until after a batched denoise pass
+    and stay bit-identical to this per-file path."""
     if denoising is True:
         assert denoising_model in ["demucs", "unet"]
 
@@ -91,7 +96,7 @@ def read(
         audio = np.asarray(wave_denoiser(audio[None, :]))[0]
 
     audio = resample(audio, native_sr, sample_rate)
-    channels = [audio * 32767.0]
+    channels = [audio * 32767.0 if int16_scale else audio]
     return channels, sample_rate, file_hash
 
 

@@ -188,6 +188,125 @@ def compute_peaks_metrics(
     return {k: v / n for k, v in acc.items()}
 
 
+def compute_peaks_metrics_batched(
+    queries_augmented: List[str],
+    djv_no_den: Dejavu,
+    djv_den: Dejavu,
+    cleans_path: Optional[str] = None,
+    max_queries: Optional[int] = None,
+    batch_size: int = 64,
+    num_workers: int = 8,
+) -> Dict[str, float]:
+    """Batched counterpart of :func:`compute_peaks_metrics`: instead of
+    three sequential ``generate_fingerprints`` device round-trips per query
+    (the reference's per-file loop, ref: dejavu_exps.py:82-167), whole query
+    batches run through ``fingerprint_spectrogram_batch`` in one XLA program
+    per (engine, length) and the vectorized ``batch_peak_metrics`` /
+    ``batch_psnr`` score every example at once. Queries are grouped by exact
+    (query, clean) length — reference sets are uniform 8 s — so per-file
+    results are bit-identical to the sequential path. Demucs waveform
+    denoising applies batched to the raw (unscaled) audio, exactly where
+    :func:`~musicfpaugment_tpu.afp.dejavu.dejavu.read` applies it per file
+    (per-file ``read`` denoises before any resample; here loading resamples
+    first — identical whenever queries are already at the target rate, as
+    every reference query set is).
+    """
+    import collections
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu.afp.dejavu.dejavu import read as djv_read
+    from musicfpaugment_tpu.afp.dejavu.fingerprint import (
+        fingerprint_spectrogram_batch,
+    )
+    from musicfpaugment_tpu.testing.metrics import batch_peak_metrics, batch_psnr
+
+    cleans_path = cleans_path or queries_paths["cleans"]
+    if max_queries is not None:
+        queries_augmented = queries_augmented[:max_queries]
+    sr = djv_no_den.settings["samplerate"]
+
+    def _load_pair(qpath):
+        try:
+            q = djv_read(qpath, sample_rate=sr, int16_scale=False)[0][0]
+            c = djv_read(
+                os.path.join(cleans_path, str(qpath).split("/")[-1]),
+                sample_rate=sr,
+                int16_scale=False,
+            )[0][0]
+            return q, c
+        except Exception:
+            print("error with ", qpath)
+            return None
+
+    with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pairs = [p for p in pool.map(_load_pair, queries_augmented) if p]
+
+    jit_cache: Dict = {}
+
+    def _masks_sgrams(djv, batch):
+        """(B, T) raw waveforms -> (peak masks, PSD spectrograms) — the
+        generate_fingerprints(get_masks=True) pipeline, one program per
+        (engine, length)."""
+        w = np.asarray(batch, np.float32)
+        if djv.denoising and djv.denoising_model == "demucs":
+            w = np.asarray(djv.wave_denoiser(w))
+        st = djv.settings
+        key = (id(djv), batch.shape[-1])
+        if key not in jit_cache:
+            hook = (
+                djv.spec_denoiser
+                if (djv.denoising and djv.denoising_model == "unet")
+                else None
+            )
+
+            def fn(wv):
+                _, mask, specgram = fingerprint_spectrogram_batch(
+                    wv,
+                    st["samplerate"],
+                    st["n_fft"],
+                    st["n_hop"],
+                    st["amp_min"],
+                    denoiser=hook,
+                )
+                return mask, specgram
+
+            jit_cache[key] = jax.jit(fn)
+        return jit_cache[key](jnp.asarray(w * 32767.0))
+
+    groups = collections.defaultdict(list)
+    for q, c in pairs:
+        groups[(q.shape[0], c.shape[0])].append((q, c))
+
+    sums = {k: 0.0 for k in [
+        "precision_no_den", "recall_no_den", "f1_score_no_den",
+        "psnr_no_den_spec", "prec_den", "rec_den", "f1_den", "psnr_den_spec",
+    ]}
+    n = 0
+    for _, items in groups.items():
+        for start in range(0, len(items), batch_size):
+            chunk = items[start : start + batch_size]
+            qb = np.stack([q for q, _ in chunk])
+            cb = np.stack([c for _, c in chunk])
+            m_clean, sg_clean = _masks_sgrams(djv_no_den, cb)
+            m_aug, sg_aug = _masks_sgrams(djv_no_den, qb)
+            m_den, sg_den = _masks_sgrams(djv_den, qb)
+            pm_aug = batch_peak_metrics(m_aug, m_clean, reduce=False)
+            pm_den = batch_peak_metrics(m_den, m_clean, reduce=False)
+            sums["precision_no_den"] += float(jnp.sum(pm_aug["precision"]))
+            sums["recall_no_den"] += float(jnp.sum(pm_aug["recall"]))
+            sums["f1_score_no_den"] += float(jnp.sum(pm_aug["f1"]))
+            sums["prec_den"] += float(jnp.sum(pm_den["precision"]))
+            sums["rec_den"] += float(jnp.sum(pm_den["recall"]))
+            sums["f1_den"] += float(jnp.sum(pm_den["f1"]))
+            sums["psnr_no_den_spec"] += float(jnp.sum(batch_psnr(sg_aug, sg_clean)))
+            sums["psnr_den_spec"] += float(jnp.sum(batch_psnr(sg_den, sg_clean)))
+            n += len(chunk)
+    return {k: v / max(n, 1) for k, v in sums.items()}
+
+
 def identification_rate_results(
     denoising_model: str = "unet",
     spec_denoiser=None,
@@ -233,8 +352,11 @@ def peaks_metrics_results(
     query_paths: Optional[Dict[str, str]] = None,
     db=None,
     max_queries: Optional[int] = None,
+    batched: bool = True,
 ) -> Dict[str, Dict[str, float]]:
-    """ref: dejavu_exps.py:196-227."""
+    """ref: dejavu_exps.py:196-227. ``batched=True`` (default) scores whole
+    query batches per XLA program (bit-identical per-file results);
+    ``batched=False`` is the sequential per-file oracle path."""
     results = {}
     query_paths = query_paths or queries_paths
     for augmentation, query_path in query_paths.items():
@@ -255,7 +377,8 @@ def peaks_metrics_results(
             wave_denoiser=wave_denoiser,
             db=db,
         )
-        results[str(augmentation)] = compute_peaks_metrics(
+        fn = compute_peaks_metrics_batched if batched else compute_peaks_metrics
+        results[str(augmentation)] = fn(
             queries_augmented, djv, djv_den,
             cleans_path=query_paths.get("cleans"), max_queries=max_queries,
         )

@@ -352,3 +352,55 @@ def test_peaks_metrics_batched_matches_sequential(tmp_path, rng):
     assert set(bat) == set(seq)
     for k in seq:
         assert bat[k] == pytest.approx(seq[k], rel=1e-5, abs=1e-5), k
+
+
+@pytest.mark.slow
+def test_dejavu_peaks_metrics_batched_matches_sequential(tmp_path, rng):
+    """The batched dejavu peaks_metrics action (fingerprint_spectrogram_batch
+    + vectorized metrics over whole query batches) reproduces the sequential
+    generate_fingerprints per-file loop's averages exactly."""
+    from musicfpaugment_tpu.afp.dejavu import Dejavu
+    from musicfpaugment_tpu.afp.dejavu.sqlite_database import SQLiteDatabase
+    from musicfpaugment_tpu.testing.dejavu_exps import (
+        compute_peaks_metrics,
+        compute_peaks_metrics_batched,
+    )
+    from musicfpaugment_tpu.testing.generate_queries import (
+        generate_augmented_queries,
+        generate_clean_queries,
+    )
+    from musicfpaugment_tpu.testing.parameters import bn_p10_params
+
+    tracks = _write_wav_tracks(tmp_path / "tracks", rng, n=4)
+    cleans = tmp_path / "cleans"
+    generate_clean_queries(tracks, str(cleans), duration=2, save=True)
+    noise_bank, ir_bank = augment.synthetic_banks(
+        sample_rate=SR, noise_row_length=2 * SR, num_noise=4, num_irs=2
+    )
+    augmenter = augment.AugmentFP(
+        noise_bank, SR, parameters=bn_p10_params, impulse_response_dir=ir_bank
+    )
+    aug_dir = tmp_path / "bn_p10"
+    generate_augmented_queries(
+        str(aug_dir), bn_p10_params, save=True, augmenter=augmenter,
+        cleans_path=str(cleans),
+    )
+    queries = [str(aug_dir / q) for q in sorted(os.listdir(aug_dir))]
+
+    db = SQLiteDatabase(":memory:")
+    djv = Dejavu({}, state="set", db=db)
+    identity = lambda s: s
+    djv_den = Dejavu(
+        {}, state="set", denoising=True, denoising_model="unet",
+        spec_denoiser=identity, db=db,
+    )
+    seq = compute_peaks_metrics(queries, djv, djv_den, cleans_path=str(cleans))
+    bat = compute_peaks_metrics_batched(
+        queries, djv, djv_den, cleans_path=str(cleans), batch_size=2
+    )
+    assert set(bat) == set(seq)
+    for k in seq:
+        assert bat[k] == pytest.approx(seq[k], rel=1e-5, abs=1e-5), k
+    # note: an identity spec hook is NOT a no-op here — the dejavu pipeline
+    # squares the denoiser output (fingerprint.py: denoiser(arr2d) ** 2), so
+    # only batched-vs-sequential parity is asserted, for both engines.
