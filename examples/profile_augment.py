@@ -19,6 +19,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# persistent compile cache: the per-stage programs pay one multi-minute
+# degraded-tunnel compile each on first run; cached re-runs are cheap
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ.get("MFPA_JAX_CACHE", "/tmp/jaxcache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from musicfpaugment_tpu import augment

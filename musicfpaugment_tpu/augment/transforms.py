@@ -32,6 +32,7 @@ from musicfpaugment_tpu.core.filters import (
     DEFAULT_ZEROS,
     highpass_filter,
     lowpass_filter,
+    lowpass_kernels,
     bandpass_filter,
     bandstop_filter,
 )
@@ -155,8 +156,12 @@ class LowPassFilter(BaseWaveformTransform):
             # explicitly for the full-width kernel).
             sr = sample_rate or 8000
             if self.min_cutoff_freq > 0:
+                # round up to a multiple of 16 taps for layout friendliness
+                # only — the mask makes extra taps exact zeros, but every tap
+                # is paid for in the conv (the default LPF band needs just
+                # half_size 11; a 64-tap floor tripled its cost)
                 h = int(DEFAULT_ZEROS * sr / self.min_cutoff_freq / 2)
-                half_size_max = min(DEFAULT_HALF_SIZE_MAX, max(64, -(-h // 64) * 64))
+                half_size_max = min(DEFAULT_HALF_SIZE_MAX, max(16, -(-h // 16) * 16))
             else:
                 half_size_max = min(DEFAULT_HALF_SIZE_MAX, 2048)
         self.half_size_max = half_size_max
@@ -609,6 +614,89 @@ class PeakNormalization(BaseWaveformTransform):
         return jnp.where(peak > 0, samples / jnp.where(peak > 0, peak, 1.0), samples)
 
 
+# ----------------------------------------------------------------- LTI fusion
+
+
+def _gate_mask(key: jax.Array, p: float, batch: int) -> Array:
+    """The Bernoulli gate of ``BaseWaveformTransform.__call__`` as a value
+    (identical draws from the same key)."""
+    if p >= 1.0:
+        return jnp.ones((batch,), bool)
+    if p <= 0.0:
+        return jnp.zeros((batch,), bool)
+    return jax.random.bernoulli(key, p, (batch,))
+
+
+def fused_highpass_ir(
+    key_hpf: jax.Array,
+    key_ir: jax.Array,
+    samples: Array,
+    sample_rate: int,
+    hpf: "HighPassFilter",
+    ir_tf: "ApplyImpulseResponse",
+    ir_bank: IRBank,
+) -> Array:
+    """HPF1 and the IR reverb as ONE overlap-save convolution (fast chain).
+
+    Both stages are LTI per example, so their cascade is a single
+    convolution by the combined kernel ``(δ − k_lp) ⊛ ir`` — one pass over
+    the signal instead of two, ~25% fewer FFT points by the overlap-save
+    cost model (the kernel-kernel convolution is over ~8k taps, amortized
+    against two full 64k-signal passes). Randomness consumes the two
+    stages' key slots exactly as the unfused chain does (same splits, same
+    Bernoulli gates, same cutoff/IR draws), so frozen-seed streams are
+    unchanged; outputs differ from the unfused cascade only by float
+    rounding (convolution associativity), the fast chain's documented
+    divergence class. Examples with both gates off return bit-exact
+    passthrough, as unfused. Mono (B, T) only — the multichannel path keeps
+    the stage-by-stage chain.
+
+    ``normalize`` semantics: valid under the fast chain only, where the IR
+    stage's peak normalization is elided (pipeline.py scale-invariance
+    proof).
+    """
+    B, T = samples.shape
+    H1 = hpf.half_size_max
+    # --- HPF1 draws (key usage identical to BaseWaveformTransform.__call__)
+    k_mask, k_tfm = jax.random.split(key_hpf)
+    mask_h = _gate_mask(k_mask, hpf.p, B)
+    cutoffs = hpf._sample_cutoffs(k_tfm, B, sample_rate)
+    cutoffs = jnp.where(mask_h, cutoffs, 0.0)
+    # --- IR draws
+    k_mask1, k_tfm1 = jax.random.split(key_ir)
+    mask_ir = _gate_mask(k_mask1, ir_tf.p, B)
+    ir = ir_bank.sample(k_tfm1, B)  # (B, L)
+    L = ir.shape[-1]
+    delta_ir = jnp.zeros((L,), samples.dtype).at[0].set(1.0)
+    ir_eff = jnp.where(mask_ir[:, None], ir, delta_ir[None, :])
+    # --- combined kernel: highpass (δ at center − k_lp) convolved with ir
+    k_lp = lowpass_kernels(cutoffs, H1)  # (B, 2*H1+1); cutoff<=0 -> zeros
+    k_hp = (-k_lp).at[:, H1].add(1.0)
+    k_comb = fft_convolve(k_hp, ir_eff, mode="full")  # (B, 2*H1+L)
+    # --- one overlap-save pass. Replicate padding by H1 reproduces the HPF
+    # edge behavior; slicing [2*H1 : 2*H1+T] composes the HPF 'valid' slice
+    # with the IR stage's causal [:T] truncation exactly.
+    pad_cfg = [(0, 0)] * (samples.ndim - 1) + [(H1, H1)]
+    pad_x = jnp.pad(samples, pad_cfg, mode="edge")
+    y = fft_convolve(pad_x, k_comb, mode="full")[..., 2 * H1 : 2 * H1 + T]
+    # --- left-edge correction. The unfused chain truncates the HPF output
+    # to [0, T) BEFORE the IR conv, so the IR sees zeros there; the fused
+    # pass instead convolves the HPF's (pad-region) tail at negative times
+    # into the first L-1 outputs. Subtract that contamination: it is the
+    # convolution of the HPF full-result over [-(L-1), 0) with the IR —
+    # two kernel-length convolutions, negligible next to the main pass.
+    if L > 1:
+        seg = pad_x[..., : 2 * H1]  # covers every sample the tail needs
+        full_s = fft_convolve(seg, k_hp, mode="full")
+        w = full_s[..., 2 * H1 - (L - 1) : 2 * H1]  # hpf at t in [-(L-1), 0)
+        corr = fft_convolve(w, ir_eff, mode="full")[..., L - 1 : 2 * L - 2]
+        y = y.at[..., : L - 1].add(-corr)
+    # bit-exact passthrough where both gates are off (matches the unfused
+    # chain, whose gated-off lanes never touch an FFT)
+    off = (cutoffs <= 0.0) & ~mask_ir
+    return jnp.where(off[:, None], samples, y)
+
+
 __all__ = [
     "BaseWaveformTransform",
     "LowPassFilter",
@@ -622,4 +710,5 @@ __all__ = [
     "Clipping",
     "Identity",
     "PeakNormalization",
+    "fused_highpass_ir",
 ]

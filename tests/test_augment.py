@@ -345,3 +345,78 @@ def test_generate_augmented_queries_batch_size_invariant(tmp_path, banks):
     assert outs[0].keys() == outs[1].keys()
     for q in outs[0]:
         np.testing.assert_array_equal(outs[0][q], outs[1][q])
+
+
+def test_fast_chain_matches_exact_chain(banks):
+    """The fast chain's scale elisions (pipeline.py proof) and the fused
+    HPF1+IR LTI pass must reproduce the exact stage-by-stage chain up to
+    float rounding — the final PeakNormalization(p=1) pins the scale."""
+    noise_bank, ir_bank = banks
+    wavs = jnp.asarray(_music(batch=8))
+    key = jax.random.PRNGKey(11)
+    fast = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    exact = augment.AugmentFP(
+        noise_bank, SR, impulse_response_dir=ir_bank, fast_chain=False
+    )
+    a = np.asarray(fast.batch_augment(wavs, key=key))
+    b = np.asarray(exact.batch_augment(wavs, key=key))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-5)
+
+
+def test_fused_lti_matches_unfused(banks):
+    """fused_highpass_ir (HPF1 ⊛ IR as one overlap-save pass, including the
+    left-edge truncation correction) == the stage-by-stage pair, for every
+    gate combination the Bernoulli masks produce."""
+    noise_bank, ir_bank = banks
+    fp = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    tfms = fp._fast_pipeline.transforms
+    x = jnp.asarray(_music(batch=16)[:, 0, :])
+    for seed in (0, 3):
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(tfms))
+        fused = np.asarray(
+            T.fused_highpass_ir(
+                keys[0], keys[1], x, SR, tfms[0], tfms[1], fp.ir_bank
+            )
+        )
+        h = tfms[0](keys[0], x, SR, noise_bank=fp.noise_bank, ir_bank=fp.ir_bank)
+        unf = np.asarray(
+            tfms[1](keys[1], h, SR, noise_bank=fp.noise_bank, ir_bank=fp.ir_bank)
+        )
+        scale = max(np.abs(unf).max(), 1.0)
+        np.testing.assert_allclose(fused / scale, unf / scale, atol=3e-6)
+    # whole chain: fused on vs off
+    wavs = jnp.asarray(_music(batch=8))
+    key = jax.random.PRNGKey(7)
+    a = np.asarray(fp.batch_augment(wavs, key=key))
+    unfused_fp = augment.AugmentFP(
+        noise_bank, SR, impulse_response_dir=ir_bank, fuse_lti=False
+    )
+    b = np.asarray(unfused_fp.batch_augment(wavs, key=key))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-5)
+
+
+def test_noise_bank_fullrow_gather_matches_dynamic_slice(banks):
+    """When crops span the full row (max_off == 0) the sampler's row-gather
+    fast path must equal the dynamic-slice draw bit-for-bit."""
+    noise_bank, _ = banks
+    key = jax.random.PRNGKey(5)
+    L = noise_bank.row_length
+    fast = np.asarray(noise_bank.sample(key, 12, L))
+    # reference draw: force the slow path by asking for one fewer sample of
+    # a zero-offset crop is not equivalent; instead replicate the slow path
+    # inline (offset is drawn but max_off == 0 pins it to zero)
+    k_scene, k_row, k_off = jax.random.split(key, 3)
+    n_scenes = noise_bank.scene_starts.shape[0]
+    scene = jax.random.randint(k_scene, (12,), 0, n_scenes)
+    row_u = jax.random.uniform(k_row, (12,))
+    row = noise_bank.scene_starts[scene] + (
+        row_u * noise_bank.scene_counts[scene].astype(jnp.float32)
+    ).astype(jnp.int32)
+
+    def crop(r):
+        return jax.lax.dynamic_slice(noise_bank.clips[r], (0,), (L,))
+
+    from musicfpaugment_tpu.core.utils import rms_normalize
+
+    slow = np.asarray(rms_normalize(jax.vmap(crop)(row)))
+    np.testing.assert_array_equal(fast, slow)
