@@ -78,4 +78,4 @@ def timeit(name, fn, *args, iters=4):
 timeit("peaks only", jax.jit(stage_peaks), wavs)
 timeit("peaks+hash", jax.jit(stage_hash), wavs)
 timeit("peaks+hash+dedup", jax.jit(stage_dedup), wavs)
-timeit("full fused", jax.jit(stage_full), dm._table, dm._counts, dm._hashesperid, wavs)
+timeit("full fused", jax.jit(stage_full), dm._table, dm._counts, dm._hpit, wavs)

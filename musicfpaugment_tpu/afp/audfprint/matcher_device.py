@@ -97,7 +97,7 @@ def _run_length(sorted_vals: Array) -> Tuple[Array, Array]:
 def _match_impl(
     table: Array,
     counts: Array,
-    hashesperid: Array,
+    hpi_table: Array,
     qtimes: Array,
     qhashes: Array,
     qvalid: Array,
@@ -114,7 +114,7 @@ def _match_impl(
     """qtimes/qhashes/qvalid: (B, H). Returns (best_id, best_count,
     best_mode) per query; best_id == -1 means NOMATCH.
 
-    The table/counts/hashesperid arrays are explicit arguments (NOT closure
+    The table/counts/hpi_table arrays are explicit arguments (NOT closure
     captures): a closed-over array is baked into the XLA program as a
     constant, and at reference scale the 2^20 x 100 table is ~420 MB — far
     past what the remote-compile path accepts. As arguments they stay
@@ -131,13 +131,20 @@ def _match_impl(
     * per-id raw counts (the reference's ``np.bincount(allids)``,
       audfprint_match.py:102-129) are id-run lengths, available at every
       position from two cumulative extrema - no count table is built;
-    * every corpus id contributes one MARKER key that sorts immediately
-      before its hits and carries ``hashesperid[id]`` as the sort payload —
-      the weighting lookup arrives by merge, because a (B, W) random gather
-      from even a tiny table costs a fixed ~8 ns per scalar load on TPU
-      (measured 456 ms for 52M loads, r3 profile);
-    * candidate selection is ``top_k`` over the weighted counts at the
-      markers (ties resolve to the lower id, matching a dense top_k);
+    * the ``1/hashesperid`` candidate weighting arrives WITH the hits:
+      ``hpi_table`` mirrors the hash table's layout (hpi of the id stored
+      in each slot, built once at refresh), so the weight gather rides the
+      same contiguous-window gather as the hits and the main sort carries
+      it as payload. This replaced the round-3 marker-merge design (one
+      extra key per corpus id sorted in with the hits): at 106k tracks the
+      markers DOUBLED the sort width — the reference-scale stage profile
+      measured the (B, K + num_ids) sort at 71.6 ms of a 151.7 ms match,
+      and every downstream pass paid the same 2x. A (B, W) random gather
+      from the (num_ids,) array remains off the table: ~8 ns per scalar
+      load regardless of table size (measured 456 ms for 52M loads);
+    * candidate selection is ``top_k`` over the weighted counts at id-run
+      starts (runs are id-ascending, so ties resolve to the lower id,
+      matching a dense top_k);
     * a second, 2-operand sort compacts the distinct (id, dt) cells to the
       row front, after which each cell occupies exactly one slot in (id, dt)
       order - the offset histogram around a cell is then just its +-window
@@ -153,15 +160,15 @@ def _match_impl(
     D = depth
     C = max_candidates
     T = (max_store_time or (1 << maxtimebits)) + max_query_frames
-    # key layout: id * T3 + slot, with slot 0 = the id's hashesperid MARKER,
-    # slot 1 + dt = a hit at offset dt, slot T3 - 1 = defensive dt overflow
-    T3 = T + 3
+    # key layout: id * T2 + dt, with dt clipped to slot T = defensive
+    # overflow (never scored); the sentinel run sits past every corpus id
+    T2 = T + 1
     timemask = (1 << maxtimebits) - 1
     K = H * D
-    W = K + num_ids  # hits ++ one marker per corpus id
 
     tab = table[qhashes]  # (B, H, D) uint32
     nvalid = counts[qhashes]  # (B, H)
+    hpit = hpi_table[qhashes]  # (B, H, D) f32 — weights ride the gather
     slot_ok = jnp.arange(D)[None, None, :] < nvalid[..., None]
     hit_ok = slot_ok & qvalid[..., None]  # (B, H, D)
     ids = (tab >> maxtimebits).astype(jnp.int32) - 1
@@ -170,60 +177,40 @@ def _match_impl(
         - qtimes[..., None]
         + max_query_frames
     )
-    dtq = jnp.clip(dtq, 0, T)  # slot T = defensive overflow, never scored
-    key_dtype = jnp.int32 if (num_ids + 1) * T3 < 2**31 else jnp.int64
-    sentinel = jnp.asarray(num_ids, key_dtype) * T3
+    dtq = jnp.clip(dtq, 0, T)
+    key_dtype = jnp.int32 if (num_ids + 1) * T2 < 2**31 else jnp.int64
+    sentinel = jnp.asarray(num_ids, key_dtype) * T2
     hit_key = jnp.where(
         hit_ok,
-        ids.astype(key_dtype) * T3 + (dtq + 1).astype(key_dtype),
+        ids.astype(key_dtype) * T2 + dtq.astype(key_dtype),
         sentinel,
     ).reshape(B, K)
-    # hashesperid markers: id i's marker key i*T3 sorts immediately before
-    # its hits and carries hpi[i] as the sort payload — this is how every
-    # id-run learns its weight WITHOUT a (B, W) random gather from the
-    # (num_ids,) table (measured 456 ms for 52M scalar loads, r3 profile;
-    # the per-load cost is fixed no matter how small the table)
-    marker_key = jnp.broadcast_to(
-        (jnp.arange(num_ids, dtype=key_dtype) * T3)[None, :], (B, num_ids)
-    )
-    payload = jnp.concatenate(
-        [
-            jnp.zeros((B, K), jnp.float32),
-            jnp.broadcast_to(
-                hashesperid[None, :num_ids], (B, num_ids)
-            ).astype(jnp.float32),
-        ],
-        axis=1,
-    )
-    key = jnp.concatenate([hit_key, marker_key], axis=1)  # (B, W)
-    s, hpi_at = jax.lax.sort((key, payload), dimension=-1, num_keys=1)
+    payload = jnp.where(hit_ok, hpit, 0.0).reshape(B, K)
+    s, hpi_at = jax.lax.sort((hit_key, payload), dimension=-1, num_keys=1)
 
-    pos = jnp.broadcast_to(jnp.arange(W)[None, :], (B, W))
-    cell_id = (s // T3).astype(jnp.int32)
-    rem = (s - cell_id.astype(key_dtype) * T3).astype(jnp.int32)
-    is_marker = rem == 0
+    pos = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
+    cell_id = (s // T2).astype(jnp.int32)
     in_corpus = cell_id < num_ids  # sentinel run excluded
 
-    # ---- per-id raw counts: every id-run begins at its marker, so the
-    # count is (next id-change) - (marker position) - 1
+    # ---- per-id raw counts: run length of the id-run this position starts
     id_start = jnp.concatenate(
         [jnp.ones((B, 1), bool), cell_id[:, 1:] != cell_id[:, :-1]], axis=1
     )
     nxt_id = jnp.flip(
-        jax.lax.cummin(jnp.flip(jnp.where(id_start, pos, W), -1), axis=1), -1
+        jax.lax.cummin(jnp.flip(jnp.where(id_start, pos, K), -1), axis=1), -1
     )
     nxt_id_after = jnp.concatenate(
-        [nxt_id[:, 1:], jnp.full((B, 1), W)], axis=1
+        [nxt_id[:, 1:], jnp.full((B, 1), K)], axis=1
     )
-    raw_at = (nxt_id_after - pos - 1).astype(jnp.int32)  # valid at markers
+    raw_at = (nxt_id_after - pos).astype(jnp.int32)  # valid at id starts
 
-    # ---- candidate selection at the markers (ref gate: raw > threshcount)
+    # ---- candidate selection at id-run starts (ref gate: raw > threshcount)
     w_start = jnp.where(
-        is_marker & in_corpus & (raw_at > threshcount),
+        id_start & in_corpus & (raw_at > threshcount),
         raw_at.astype(jnp.float32) / jnp.maximum(hpi_at, 1.0),
         -1.0,
     )
-    top_w, top_pos = jax.lax.top_k(w_start, C)  # (B, C) positions into W
+    top_w, top_pos = jax.lax.top_k(w_start, C)  # (B, C) positions into K
     cand_ok = top_w > 0.0
     cand = jnp.take_along_axis(cell_id, top_pos, axis=1)  # (B, C) ids
     cand_sent = jnp.where(cand_ok, cand, -1_000_000)
@@ -234,16 +221,16 @@ def _match_impl(
     big = jnp.asarray(jnp.iinfo(key_dtype).max, key_dtype)
     k2, clen = jax.lax.sort(
         (
-            jnp.where(cell_start & in_corpus & ~is_marker, s, big),
+            jnp.where(cell_start & in_corpus, s, big),
             cell_len,
         ),
         dimension=-1,
         num_keys=1,
     )
     present = k2 < big
-    cid = jnp.where(present, k2 // T3, 0).astype(jnp.int32)
+    cid = jnp.where(present, k2 // T2, 0).astype(jnp.int32)
     cdt = jnp.where(
-        present, k2 - cid.astype(key_dtype) * T3 - 1, T
+        present, k2 - cid.astype(key_dtype) * T2, T
     ).astype(jnp.int32)
     clen = jnp.where(present & (cdt < T), clen, 0)
 
@@ -252,8 +239,8 @@ def _match_impl(
     # search (vmapped searchsorted is log2(C) rounds of serialized random
     # gathers, measured ~250 ms for 3.7M hits) and materializes no
     # (B, K, C) tensor.
-    is_cand = jnp.zeros((B, W), bool)
-    rank = jnp.zeros((B, W), jnp.int32)
+    is_cand = jnp.zeros((B, K), bool)
+    rank = jnp.zeros((B, K), jnp.int32)
     for c in range(C):  # candidate ids are unique per query
         m = cid == cand_sent[:, c][:, None]
         is_cand = is_cand | m
@@ -272,8 +259,8 @@ def _match_impl(
         )
 
     wcount = clen
-    hist_prev1 = jnp.zeros((B, W), jnp.int32)
-    hist_next1 = jnp.zeros((B, W), jnp.int32)
+    hist_prev1 = jnp.zeros((B, K), jnp.int32)
+    hist_next1 = jnp.zeros((B, K), jnp.int32)
     for o in range(1, window + 1):
         cid_p, cdt_p, len_p = (
             shifted(cid, o, -1), shifted(cdt, o, 0), shifted(clen, o, 0)
@@ -303,7 +290,7 @@ def _match_impl(
     # higher aligned count first, then the better-weighted candidate, then
     # (argmax first-wins) the earliest offset of that candidate
     bits = max(C, 2).bit_length()
-    score_dtype = jnp.int64 if (W << bits) >= 2**31 else jnp.int32
+    score_dtype = jnp.int64 if (K << bits) >= 2**31 else jnp.int32
     score = jnp.where(
         modes & is_cand & present,
         (wcount.astype(score_dtype) << bits)
@@ -398,8 +385,19 @@ class DeviceMatcher:
         self.eff_maxtime = -(-(max_time + 1) // 128) * 128
         hpi = np.maximum(np.asarray(self.ht.hashesperid, np.float32), 1.0)
         self.num_ids = max(len(self.ht.names), 1)
-        self._hashesperid = jnp.asarray(
-            np.pad(hpi, (0, self.num_ids - len(hpi)), constant_values=1.0)
+        hpi_pad = np.pad(hpi, (0, self.num_ids - len(hpi)), constant_values=1.0)
+        self._hashesperid = jnp.asarray(hpi_pad)
+        # slot-aligned weight table: hpi of the id stored in each table slot.
+        # Doubles the matcher's HBM footprint (f32 mirror of the u32 table,
+        # <=420 MB each at the 2^20 x 100 reference shape) so the weight
+        # lookup rides the hit gather and the main sort's payload — see
+        # _match_impl's design note (the marker-merge alternative doubled
+        # the SORT instead, which at 106k ids cost 2x across every pass).
+        slot_ids = (table_slice >> np.uint32(self.maxtimebits)).astype(
+            np.int64
+        ) - 1
+        self._hpit = jnp.asarray(
+            hpi_pad[np.clip(slot_ids, 0, self.num_ids - 1)].astype(np.float32)
         )
         self._match_cache: dict = {}
         self._e2e_cache: dict = {}
@@ -496,7 +494,7 @@ class DeviceMatcher:
         if cache_key not in self._e2e_cache:
             match_kw = self._match_kwargs(mqf)
 
-            def prog(table, counts, hashesperid, wavs, vsamp):
+            def prog(table, counts, hpi_table, wavs, vsamp):
                 th_parts, valid_parts = [], []
                 for s in range(max(1, shifts)):
                     off = int(s / max(1, shifts) * n_hop)
@@ -537,7 +535,7 @@ class DeviceMatcher:
                 return _match_impl(
                     table,
                     counts,
-                    hashesperid,
+                    hpi_table,
                     t,
                     h,
                     vq,
@@ -563,7 +561,7 @@ class DeviceMatcher:
         )
         best_id, best_count, _, n_overflow = jax.device_get(
             self._e2e_cache[cache_key](
-                self._table, self._counts, self._hashesperid, waveforms, vsamp
+                self._table, self._counts, self._hpit, waveforms, vsamp
             )
         )
         if int(n_overflow):
@@ -613,7 +611,7 @@ class DeviceMatcher:
             match(
                 self._table,
                 self._counts,
-                self._hashesperid,
+                self._hpit,
                 jnp.asarray(qt),
                 jnp.asarray(qh),
                 jnp.asarray(qv),
