@@ -47,18 +47,6 @@ from musicfpaugment_tpu.afp.audfprint.hash_table import HashTable
 Array = jnp.ndarray
 
 
-def _locmax_tail(v: Array) -> Array:
-    """Local-max mask on the trailing axis with the reference's end-point
-    semantics (ref: audfprint_match.py:24-41): nbr[0]=True, nbr[n]=False,
-    mask = nbr[:-1] & ~nbr[1:]."""
-    up = v[..., 1:] >= v[..., :-1]
-    one = jnp.ones(v.shape[:-1] + (1,), bool)
-    zero = jnp.zeros(v.shape[:-1] + (1,), bool)
-    nbr_prev = jnp.concatenate([one, up], axis=-1)
-    nbr_next = jnp.concatenate([up, zero], axis=-1)
-    return nbr_prev & ~nbr_next
-
-
 def _bincount_rows(values: Array, num_bins: int) -> Array:
     """Row-wise bincount of (B, K) int32 values in [0, num_bins); values >=
     num_bins are dropped. TPU-shaped: a scatter-add with colliding indices
