@@ -59,12 +59,12 @@ def _translate(sql: str) -> str:
 
 
 def _coerce(value: Optional[str]) -> Any:
-    """Text-format wire param -> python value (postgres would infer a
-    numeric type for integer literals bound to int columns)."""
-    if value is None:
-        return None
-    if re.fullmatch(r"-?\d+", value):
-        return int(value)
+    """Text-format wire param -> binding value. Bind the TEXT verbatim:
+    SQLite column affinity converts '5' to 5 for INTEGER columns on both
+    insert and comparison (exactly what Postgres' context-driven param
+    typing achieves), while an eager int() cast would corrupt all-digit
+    VARCHAR data — a fingerprint hash '00123' must keep its leading zeros
+    or dejavu's return_matches dict lookup misses it."""
     return value
 
 

@@ -159,13 +159,18 @@ def test_live_postgres_round_trip(live_db):
     db = live_db
     db.setup()
     db.empty()
-    sid = db.insert_song("live.mp3", "cd" * 20, 3)
-    db.insert_hashes(sid, [("aaaa", 1), ("bbbb", 2), ("cccc", 3)])
+    sid = db.insert_song("live.mp3", "cd" * 20, 4)
+    # '00123' is all digits WITH leading zeros: a wire layer that coerces
+    # numeric-looking text params to ints would store '123' and break the
+    # return_matches dict lookup
+    db.insert_hashes(
+        sid, [("aaaa", 1), ("bbbb", 2), ("cccc", 3), ("00123", 4)]
+    )
     db.set_song_fingerprinted(sid)
     assert db.get_num_songs() == 1
-    assert db.get_num_fingerprints() == 3
-    matches, dedup = db.return_matches([("aaaa", 0)])
-    assert (sid, 1) in matches and dedup[sid] == 1
+    assert db.get_num_fingerprints() == 4
+    matches, dedup = db.return_matches([("aaaa", 0), ("00123", 1)])
+    assert (sid, 1) in matches and (sid, 3) in matches and dedup[sid] == 2
     song = db.get_song_by_id(sid)
     assert song["song_name"] == "live.mp3"
     assert song["file_sha1"] == "cd" * 20
