@@ -98,9 +98,12 @@ def _match_impl(
     maxtimebits: int,
     max_query_frames: int,
     max_store_time: Optional[int] = None,
+    cell_budget: int = 16384,
 ):
     """qtimes/qhashes/qvalid: (B, H). Returns (best_id, best_count,
-    best_mode) per query; best_id == -1 means NOMATCH.
+    best_mode, cell_overflow) per query; best_id == -1 means NOMATCH, and
+    cell_overflow counts queries whose candidate cells exceeded
+    ``cell_budget`` (truncated; callers warn — see the compaction note).
 
     The table/counts/hpi_table arrays are explicit arguments (NOT closure
     captures): a closed-over array is baked into the XLA program as a
@@ -133,13 +136,13 @@ def _match_impl(
     * candidate selection is ``top_k`` over the weighted counts at id-run
       starts (runs are id-ascending, so ties resolve to the lower id,
       matching a dense top_k);
-    * a second, 2-operand sort compacts the distinct (id, dt) cells to the
-      row front, after which each cell occupies exactly one slot in (id, dt)
-      order - the offset histogram around a cell is then just its +-window
-      neighbors, so the reference's iterative mode extraction
+    * a second, 2-operand sort compacts the distinct CANDIDATE (id, dt)
+      cells to the row front in (candidate-rank, dt) order - each cell then
+      occupies exactly one slot, the offset histogram around a cell is just
+      its +-window neighbors, and the reference's iterative mode extraction
       (audfprint_match.py:235-316) reduces to +-window shifted elementwise
-      compares (same-id, dt-within-window masks), with no (B, C, T)
-      histogram materialization at all;
+      compares over a short static ``cell_budget`` slice (loud-overflow
+      guarded), with no (B, C, T) histogram materialization at all;
     * the verdict is one argmax over a packed (windowed-count, candidate-
       rank) score - tie-breaks replicate the dense formulation: higher
       count, then better-weighted candidate, then earliest offset.
@@ -203,26 +206,7 @@ def _match_impl(
     cand = jnp.take_along_axis(cell_id, top_pos, axis=1)  # (B, C) ids
     cand_sent = jnp.where(cand_ok, cand, -1_000_000)
 
-    # ---- compact distinct (id, dt) cells to the row front (2-operand sort:
-    # the packed key carries id+dt; the run length rides as payload)
-    cell_start, cell_len = _run_length(s)
-    big = jnp.asarray(jnp.iinfo(key_dtype).max, key_dtype)
-    k2, clen = jax.lax.sort(
-        (
-            jnp.where(cell_start & in_corpus, s, big),
-            cell_len,
-        ),
-        dimension=-1,
-        num_keys=1,
-    )
-    present = k2 < big
-    cid = jnp.where(present, k2 // T2, 0).astype(jnp.int32)
-    cdt = jnp.where(
-        present, k2 - cid.astype(key_dtype) * T2, T
-    ).astype(jnp.int32)
-    clen = jnp.where(present & (cdt < T), clen, 0)
-
-    # ---- rank of each cell's id within the candidate list. C is small
+    # ---- rank of each hit row's id within the candidate list. C is small
     # (<= search-depth 100), so an unrolled equality loop beats a binary
     # search (vmapped searchsorted is log2(C) rounds of serialized random
     # gathers, measured ~250 ms for 3.7M hits) and materializes no
@@ -230,12 +214,38 @@ def _match_impl(
     is_cand = jnp.zeros((B, K), bool)
     rank = jnp.zeros((B, K), jnp.int32)
     for c in range(C):  # candidate ids are unique per query
-        m = cid == cand_sent[:, c][:, None]
+        m = cell_id == cand_sent[:, c][:, None]
         is_cand = is_cand | m
         rank = jnp.where(m, c, rank)
 
+    # ---- compact the CANDIDATE (id, dt) cells to the row front, ordered
+    # by (candidate rank, dt) — one 2-operand sort, run lengths as payload.
+    # Only candidate ids can win the verdict (the reference scores
+    # candidates only, audfprint_match.py:102-129), so the windowed-count /
+    # mode / score passes below run over a short static ``cell_budget``
+    # slice instead of all K columns. Queries whose candidates carry more
+    # distinct cells than the budget are counted and reported (the loud-
+    # overflow pattern of the query-hash budget); the default bound is far
+    # above anything real corpora produce (~100 candidates x ~10 cells for
+    # noise queries; a true match's winner has ~1 cell per query hash).
+    cell_start, cell_len = _run_length(s)
+    rem = (s - cell_id.astype(key_dtype) * T2).astype(jnp.int32)
+    keep_cell = cell_start & in_corpus & is_cand
+    big32 = jnp.iinfo(jnp.int32).max
+    ckey = jnp.where(keep_cell, rank * T2 + rem, big32)  # (rank, dt) packed
+    S = min(cell_budget, K)
+    k2, clen = jax.lax.sort((ckey, cell_len), dimension=-1, num_keys=1)
+    k2, clen = k2[:, :S], clen[:, :S]
+    cell_overflow = jnp.sum(
+        jnp.sum(keep_cell, axis=1) > S
+    ).astype(jnp.int32)
+    present = k2 < big32
+    crank = jnp.where(present, k2 // T2, C).astype(jnp.int32)
+    cdt = jnp.where(present, k2 - (k2 // T2) * T2, T).astype(jnp.int32)
+    clen = jnp.where(present & (cdt < T), clen, 0)
+
     # ---- windowed counts + local-max modes via +-window neighbor shifts:
-    # cells of one id are consecutive and dt-sorted, so a populated
+    # cells of one candidate are consecutive and dt-sorted, so a populated
     # histogram column within the +-window lives at most `window` slots away
     def shifted(x, off, fill):
         if off > 0:  # value at slot k - off
@@ -247,25 +257,25 @@ def _match_impl(
         )
 
     wcount = clen
-    hist_prev1 = jnp.zeros((B, K), jnp.int32)
-    hist_next1 = jnp.zeros((B, K), jnp.int32)
+    hist_prev1 = jnp.zeros((B, S), jnp.int32)
+    hist_next1 = jnp.zeros((B, S), jnp.int32)
     for o in range(1, window + 1):
-        cid_p, cdt_p, len_p = (
-            shifted(cid, o, -1), shifted(cdt, o, 0), shifted(clen, o, 0)
+        crank_p, cdt_p, len_p = (
+            shifted(crank, o, -1), shifted(cdt, o, 0), shifted(clen, o, 0)
         )
-        same_p = (cid_p == cid) & (cdt_p >= cdt - window)
+        same_p = (crank_p == crank) & (cdt_p >= cdt - window)
         wcount = wcount + jnp.where(same_p, len_p, 0)
-        cid_n, cdt_n, len_n = (
-            shifted(cid, -o, -1), shifted(cdt, -o, 0), shifted(clen, -o, 0)
+        crank_n, cdt_n, len_n = (
+            shifted(crank, -o, -1), shifted(cdt, -o, 0), shifted(clen, -o, 0)
         )
-        same_n = (cid_n == cid) & (cdt_n <= cdt + window)
+        same_n = (crank_n == crank) & (cdt_n <= cdt + window)
         wcount = wcount + jnp.where(same_n, len_n, 0)
         if o == 1:  # exact +-1 neighbors for the local-max test
             hist_prev1 = jnp.where(
-                (cid_p == cid) & (cdt_p == cdt - 1), len_p, 0
+                (crank_p == crank) & (cdt_p == cdt - 1), len_p, 0
             )
             hist_next1 = jnp.where(
-                (cid_n == cid) & (cdt_n == cdt + 1), len_n, 0
+                (crank_n == crank) & (cdt_n == cdt + 1), len_n, 0
             )
     # reference locmax endpoint semantics (ref locmax, audfprint_match.py:
     # 24-41): missing hist[t-1]/hist[t+1] neighbors behave as zeros, which
@@ -276,25 +286,30 @@ def _match_impl(
 
     # ---- verdict: argmax over a packed (wcount, candidate-rank) score -
     # higher aligned count first, then the better-weighted candidate, then
-    # (argmax first-wins) the earliest offset of that candidate
+    # (argmax first-wins over the (rank, dt) order) the earliest offset of
+    # that candidate — identical tie-breaking to the (id, dt)-ordered
+    # formulation, because rank is unique per candidate
     bits = max(C, 2).bit_length()
-    score_dtype = jnp.int64 if (K << bits) >= 2**31 else jnp.int32
+    score_dtype = jnp.int64 if (S << bits) >= 2**31 else jnp.int32
     score = jnp.where(
-        modes & is_cand & present,
+        modes & present,
         (wcount.astype(score_dtype) << bits)
-        + (jnp.asarray((1 << bits) - 1, score_dtype) - rank.astype(score_dtype)),
+        + (jnp.asarray((1 << bits) - 1, score_dtype) - crank.astype(score_dtype)),
         0,
     )
     best_pos = jnp.argmax(score, axis=-1)  # (B,)
     best_score = jnp.take_along_axis(score, best_pos[:, None], 1)[:, 0]
     best_count = (best_score >> bits).astype(jnp.int32)
-    best_id = jnp.take_along_axis(cid, best_pos[:, None], 1)[:, 0]
+    best_rank = jnp.take_along_axis(crank, best_pos[:, None], 1)[:, 0]
+    best_id = jnp.take_along_axis(
+        cand_sent, jnp.clip(best_rank, 0, C - 1)[:, None], 1
+    )[:, 0].astype(jnp.int32)
     best_mode = (
         jnp.take_along_axis(cdt, best_pos[:, None], 1)[:, 0]
         - max_query_frames
     )
     best_id = jnp.where(best_count > 0, best_id, -1)
-    return best_id, best_count, best_mode
+    return best_id, best_count, best_mode, cell_overflow
 
 
 
@@ -332,11 +347,13 @@ class DeviceMatcher:
         max_query_frames: int = 512,
         search_depth: int = 100,
         mesh=None,
+        cell_budget: int = 16384,
     ) -> None:
         self.ht = hash_table
         self.window = window
         self.threshcount = threshcount
         self.search_depth = search_depth
+        self.cell_budget = cell_budget
         self.max_candidates = (
             max_candidates if max_candidates is not None else search_depth
         )
@@ -400,6 +417,7 @@ class DeviceMatcher:
             maxtimebits=self.maxtimebits,
             max_query_frames=max_query_frames,
             max_store_time=self.eff_maxtime,
+            cell_budget=self.cell_budget,
         )
 
     def _effective_mqf(self, max_qtime: int) -> int:
@@ -539,7 +557,7 @@ class DeviceMatcher:
                 self._e2e_cache[cache_key] = jax.jit(
                     prog,
                     in_shardings=(rep, rep, rep, dat, dat),
-                    out_shardings=(dat, dat, dat, rep),
+                    out_shardings=(dat, dat, dat, rep, rep),
                 )
             else:
                 self._e2e_cache[cache_key] = jax.jit(prog)
@@ -547,11 +565,20 @@ class DeviceMatcher:
         vsamp = (
             jnp.asarray(valid_samples, jnp.int32) if has_valid else None
         )
-        best_id, best_count, _, n_overflow = jax.device_get(
+        best_id, best_count, _, cell_overflow, n_overflow = jax.device_get(
             self._e2e_cache[cache_key](
                 self._table, self._counts, self._hpit, waveforms, vsamp
             )
         )
+        if int(cell_overflow):
+            import warnings
+
+            warnings.warn(
+                f"{int(cell_overflow)}/{B} queries exceeded the "
+                f"{self.cell_budget}-candidate-cell budget (lowest-ranked "
+                "cells dropped); raise cell_budget if this is expected",
+                stacklevel=2,
+            )
         if int(n_overflow):
             import warnings
 
@@ -595,7 +622,7 @@ class DeviceMatcher:
                 qh[i, :n] = arr[:, 1] & ((1 << self.ht.hashbits) - 1)
                 qv[i, :n] = True
         match = self._get_match(self._effective_mqf(int(qt.max(initial=0))))
-        best_id, best_count, _ = jax.device_get(
+        best_id, best_count, _, cell_overflow = jax.device_get(
             match(
                 self._table,
                 self._counts,
@@ -605,6 +632,15 @@ class DeviceMatcher:
                 jnp.asarray(qv),
             )
         )
+        if int(cell_overflow):
+            import warnings
+
+            warnings.warn(
+                f"{int(cell_overflow)}/{B} queries exceeded the "
+                f"{self.cell_budget}-candidate-cell budget (lowest-ranked "
+                "cells dropped); raise cell_budget if this is expected",
+                stacklevel=2,
+            )
         out: List[Tuple[str, Any, int]] = []
         for i in range(B):
             if best_id[i] < 0:

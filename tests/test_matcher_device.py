@@ -200,7 +200,9 @@ def test_depth100_reservoir_regime_parity():
     dropped = ht.totalhashes() - int(np.sum(np.minimum(ht.depth, ht.counts)))
     assert dropped > 0
 
-    dm = DeviceMatcher(ht)
+    # this collision regime makes nearly every hit a candidate cell, so the
+    # default 16k cell budget truncates — raise it so parity stays exact
+    dm = DeviceMatcher(ht, cell_budget=1 << 16)
     assert dm.eff_depth == 100
 
     oracle = Matcher()
@@ -218,3 +220,11 @@ def test_depth100_reservoir_regime_parity():
         assert dv[0] == ov[0]
         if ov[0] == "MATCH":
             assert dv[1] == ov[1] and dv[2] == ov[2]
+
+    # graceful degradation: a tiny budget truncates the LOWEST-ranked
+    # candidates' cells first (the compaction orders by (rank, dt)), so the
+    # true-match verdicts survive — and the overflow is reported loudly
+    dm_small = DeviceMatcher(ht, cell_budget=2048)
+    with pytest.warns(UserWarning, match="candidate-cell budget"):
+        truncated = dm_small.match_hashes_batch(qs)
+    assert truncated == device
