@@ -9,9 +9,9 @@ program at eff_depth=100 / num_ids=106,574:
   1 gather        table[qhashes] + counts[qhashes] + hpi_table[qhashes]
   2 sort          packed (id, dt) hit keys with the hpi payload, ONE lax.sort
   3 candidates    id-run lengths at run starts -> weighted top_k
-  4 compact       second sort compacting distinct (id, dt) cells
-  5 rank          candidate-rank assignment over the row
-  6 full          windowed counts + modes + verdict
+  4 rank          candidate-rank assignment over the sorted rows
+  5 compact       second sort keeping CANDIDATE cells in (rank, dt) order
+  6 full          windowed counts + modes + verdict on the budget slice
 
 History: the round-3 marker-merge design (one extra key per corpus id
 carrying its weight) measured gather 6.9 / sort 71.6 / top_k 16.5 /
@@ -125,30 +125,32 @@ def main():
             cand_sent = jnp.where(cand_ok, cand, -1_000_000)
             if stage == 3:
                 return jnp.sum(cand_sent)
-            cell_start, cell_len = md._run_length(s)
-            big = jnp.asarray(jnp.iinfo(key_dtype).max, key_dtype)
-            k2, clen = jax.lax.sort(
-                (jnp.where(cell_start & in_corpus, s, big), cell_len),
-                dimension=-1, num_keys=1)
-            present = k2 < big
-            cid = jnp.where(present, k2 // T2, 0).astype(jnp.int32)
-            if stage == 4:
-                return jnp.sum(cid)
             is_cand = jnp.zeros((B, K), bool)
             rank = jnp.zeros((B, K), jnp.int32)
             for c in range(C):
-                m = cid == cand_sent[:, c][:, None]
+                m = cell_id == cand_sent[:, c][:, None]
                 is_cand = is_cand | m
                 rank = jnp.where(m, c, rank)
-            if stage == 5:
+            if stage == 4:
                 return jnp.sum(rank) + jnp.sum(is_cand)
+            cell_start, cell_len = md._run_length(s)
+            rem = (s - cell_id.astype(key_dtype) * T2).astype(jnp.int32)
+            keep_cell = cell_start & in_corpus & is_cand
+            big32 = jnp.iinfo(jnp.int32).max
+            ckey = jnp.where(keep_cell, rank * T2 + rem, big32)
+            S = min(kw["cell_budget"], K)
+            k2, clen = jax.lax.sort((ckey, cell_len), dimension=-1,
+                                    num_keys=1)
+            k2, clen = k2[:, :S], clen[:, :S]
+            if stage == 5:
+                return jnp.sum(k2) + jnp.sum(clen)
             out = md._match_impl(table, counts, hpi_table, qt, qh, qv, **kw)
             return jnp.sum(out[0]) + jnp.sum(out[1])
 
         return jax.jit(prog)
 
     names = {1: "gather(+hpi)", 2: "+main sort", 3: "+candidates(top_k)",
-             4: "+compact sort", 5: "+rank loop", 6: "FULL match"}
+             4: "+rank loop", 5: "+compact sort", 6: "FULL match"}
     prev = 0.0
     for stage in range(1, 7):
         f = make_stage(stage)
