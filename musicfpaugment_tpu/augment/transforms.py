@@ -686,11 +686,19 @@ def fused_highpass_ir(
     # convolution of the HPF full-result over [-(L-1), 0) with the IR —
     # two kernel-length convolutions, negligible next to the main pass.
     if L > 1:
+        lead = L - 1
         seg = pad_x[..., : 2 * H1]  # covers every sample the tail needs
         full_s = fft_convolve(seg, k_hp, mode="full")
-        w = full_s[..., 2 * H1 - (L - 1) : 2 * H1]  # hpf at t in [-(L-1), 0)
-        corr = fft_convolve(w, ir_eff, mode="full")[..., L - 1 : 2 * L - 2]
-        y = y.at[..., : L - 1].add(-corr)
+        # hpf at t in [-(L-1), 0); tail positions before -(2*H1) are exact
+        # zeros in both formulations (outside the full conv's support), so
+        # an IR longer than the HPF pad window left-fills with zeros — a
+        # negative slice start would silently wrap instead
+        take = min(lead, 2 * H1)
+        w = full_s[..., 2 * H1 - take : 2 * H1]
+        if take < lead:
+            w = jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(lead - take, 0)])
+        corr = fft_convolve(w, ir_eff, mode="full")[..., lead : 2 * lead]
+        y = y.at[..., :lead].add(-corr)
     # bit-exact passthrough where both gates are off (matches the unfused
     # chain, whose gated-off lanes never touch an FFT)
     off = (cutoffs <= 0.0) & ~mask_ir

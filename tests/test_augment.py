@@ -420,3 +420,31 @@ def test_noise_bank_fullrow_gather_matches_dynamic_slice(banks):
 
     slow = np.asarray(rms_normalize(jax.vmap(crop)(row)))
     np.testing.assert_array_equal(fast, slow)
+
+
+def test_fused_lti_long_ir(banks):
+    """IRs longer than the HPF pad window (2*H1+1 taps) exercise the
+    zero-fill branch of the fused pass's left-edge correction — a negative
+    slice start would silently wrap and corrupt the first L-1 samples."""
+    noise_bank, _ = banks
+    rng = np.random.default_rng(2)
+    L = 2 * 2048 + 2000  # > 2*H1 for the default HPF1 (H1 = 2048)
+    irs = (rng.standard_normal((2, L)) * np.exp(
+        -6.0 * np.arange(L) / L)).astype(np.float32)
+    irs[:, 0] = 1.0
+    from musicfpaugment_tpu.augment.banks import build_ir_bank
+
+    ir_bank = build_ir_bank(irs, SR)
+    fp = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    tfms = fp._fast_pipeline.transforms
+    x = jnp.asarray(_music(batch=8)[:, 0, :])
+    keys = jax.random.split(jax.random.PRNGKey(3), len(tfms))
+    fused = np.asarray(
+        T.fused_highpass_ir(keys[0], keys[1], x, SR, tfms[0], tfms[1], ir_bank)
+    )
+    h = tfms[0](keys[0], x, SR, noise_bank=fp.noise_bank, ir_bank=ir_bank)
+    unf = np.asarray(
+        tfms[1](keys[1], h, SR, noise_bank=fp.noise_bank, ir_bank=ir_bank)
+    )
+    scale = max(np.abs(unf).max(), 1.0)
+    np.testing.assert_allclose(fused / scale, unf / scale, atol=5e-6)
