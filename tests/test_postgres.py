@@ -218,3 +218,29 @@ def test_live_postgres_dejavu_flow(live_db, tmp_path, rng):
     result = FileRecognizer(djv).recognize_file(crop)
     assert result["match"] is True
     assert result["results"][0]["song_name"].decode() == "song1"
+
+
+def test_shim_error_recovery():
+    """A failing statement surfaces as a driver error and the connection
+    stays usable — both the simple-query (PQexec) and extended
+    (PQexecParams) protocol paths."""
+    from musicfpaugment_tpu.afp.dejavu import pglib
+    from musicfpaugment_tpu.afp.dejavu.pg_shim import PGShimServer
+
+    with PGShimServer() as srv:
+        conn = pglib.connect(
+            host=srv.host, port=srv.port, dbname="fma", user="shim"
+        )
+        cur = conn.cursor()
+        with pytest.raises(pglib.PGError):
+            cur.execute("SELECT * FROM missing_table;")
+        with pytest.raises(pglib.PGError):
+            cur.execute("SELECT * FROM missing_table WHERE a = %s;", (1,))
+        cur.execute("SELECT 1 + 2 AS three;")
+        assert cur.fetchone() == (3,)
+        cur.execute(
+            "CREATE TABLE t (a INT); INSERT INTO t VALUES (7); "
+            "SELECT a FROM t;"
+        )
+        assert cur.fetchone() == (7,)
+        conn.close()
