@@ -237,7 +237,11 @@ def compact_valid_first(
     out_len = out_len or K
     ranks = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
     pos = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
-    tgt = jnp.where(valid, ranks - 1, out_len + pos)
+    # Invalid sentinels live in [out_len + K, out_len + 2K): disjoint from
+    # every possible valid rank (< K), so unique_indices=True holds even
+    # when a row has more than out_len valid entries (overflow ranks in
+    # [out_len, K) would otherwise collide with an out_len + pos sentinel).
+    tgt = jnp.where(valid, ranks - 1, out_len + K + pos)
     bidx = jnp.arange(B)[:, None]
     t_out = jnp.zeros((B, out_len), times.dtype).at[bidx, tgt].set(
         times, mode="drop", unique_indices=True

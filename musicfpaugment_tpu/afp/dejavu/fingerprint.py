@@ -234,6 +234,20 @@ def pack_hashes_from_masks(
     from musicfpaugment_tpu.afp.audfprint.landmarks import compact_valid_first
 
     B, F, C = masks.shape
+    # Injectivity guard: the 26-bit key (f1 << 17) | (f2 << 8) | dt only
+    # encodes f2 < 512 and dt < 256 without overlap. Defaults (n_fft=512 ->
+    # F=257, MAX_HASH_TIME_DELTA=200) are safe, but a caller-supplied larger
+    # n_fft would silently produce colliding keys and wrong match sets.
+    if F > 512:
+        raise ValueError(
+            f"packed dejavu keys require <= 512 frequency bins, got {F} "
+            "(n_fft too large for the 26-bit key layout)"
+        )
+    if MAX_HASH_TIME_DELTA > 255:
+        raise ValueError(
+            "packed dejavu keys require MAX_HASH_TIME_DELTA <= 255, got "
+            f"{MAX_HASH_TIME_DELTA}"
+        )
     m = jnp.swapaxes(masks, -1, -2).reshape(B, C * F)  # row-major = (t, f)
     flat = jnp.arange(C * F, dtype=jnp.int32)
     tpos = jnp.broadcast_to((flat // F)[None, :], (B, C * F))

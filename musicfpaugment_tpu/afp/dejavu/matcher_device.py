@@ -146,6 +146,11 @@ class DejavuDeviceIndex:
         st.update(settings or {})
         wavs = jnp.asarray(np.asarray(waveforms, np.float32))
         B, T = wavs.shape
+        names = [str(n) for n in names]
+        if len(names) != B:
+            raise ValueError(
+                f"got {len(names)} names for {B} waveform rows"
+            )
         n_frames = max(1, 1 + (T - st["n_fft"]) // st["n_hop"])
         mp = max_peaks or _pow2ceil(4 * n_frames)
         keys, t1, valid, _kf, n_distinct, n_over = jax.device_get(
@@ -167,20 +172,25 @@ class DejavuDeviceIndex:
                 "(truncated earliest-first); pass a larger max_peaks",
                 stacklevel=2,
             )
-        for i, name in enumerate(names):
+        # Validate the whole batch before mutating the index: a mid-batch
+        # ValueError must not leave earlier songs of this batch appended.
+        if len(self.names) + B > (1 << (32 - self.timebits)):
+            raise ValueError("song id space exhausted; lower timebits")
+        batch_offs, batch_keys = [], []
+        for i in range(B):
             # valid rows are compact nowhere — select on the host (per-song
             # hash counts are tiny next to the device work)
             v = valid[i]
-            sid = len(self.names)
-            if sid >= (1 << (32 - self.timebits)):
-                raise ValueError("song id space exhausted; lower timebits")
             offs = t1[i][v].astype(np.int32)
             if offs.size and int(offs.max()) >= (1 << self.timebits):
                 raise ValueError("stored offset exceeds timebits range")
-            self.names.append(str(name))
+            batch_offs.append(offs)
+            batch_keys.append(keys[i][v].astype(np.int32))
+        for i, name in enumerate(names):
+            self.names.append(name)
             self.total_hashes.append(int(n_distinct[i]))
-            self._keys.append(keys[i][v].astype(np.int32))
-            self._offs.append(offs)
+            self._keys.append(batch_keys[i])
+            self._offs.append(batch_offs[i])
         self._frozen = None
 
     def finalize(self) -> Tuple[np.ndarray, np.ndarray, int, int]:

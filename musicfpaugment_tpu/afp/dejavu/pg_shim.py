@@ -164,10 +164,16 @@ class _Handler(threading.Thread):
         return rows, desc, _command_tag(sql, rowcount, len(rows))
 
     def _send_row_description(self, desc: list, rows: list) -> None:
-        first = rows[0] if rows else None
         payload = struct.pack("!H", len(desc))
         for i, col in enumerate(desc):
-            oid = _oid_for(first[i]) if first is not None else _OID_TEXT
+            # Type each column from its first NON-NULL value across the
+            # fetched rows — a NULL in row 0 must not demote an int column
+            # to TEXT for the later non-null rows. All-null/empty -> TEXT.
+            oid = _OID_TEXT
+            for row in rows:
+                if row[i] is not None:
+                    oid = _oid_for(row[i])
+                    break
             payload += col[0].encode() + b"\x00"
             payload += struct.pack("!IHIhih", 0, 0, oid, -1, -1, 0)
         self._send(b"T", payload)
