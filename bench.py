@@ -340,6 +340,70 @@ def bench_torch_reference_step(model_name: str = "unet", sr: int = 8000):
     return 1.0 / dt128
 
 
+def bench_index(
+    n_tracks: int = 2048, batch_size: int = 128, track_seconds: int = 30,
+    sr: int = 8000,
+):
+    """Bulk-indexing rate with device-originated tracks (the scale-proof
+    ingest path, examples/scale_proof.py: synth + peaks + hashing + dedup +
+    valid-first compaction fused in one XLA program, ~4 MB download/batch,
+    host reservoir store pipelined behind device compute). This is the
+    number behind the README's "322 tracks/s" claim — VERDICT r3 #1 wants
+    it driver-captured."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu.afp.audfprint import HashTable
+    from musicfpaugment_tpu.afp.audfprint import landmarks as lm
+    from musicfpaugment_tpu.afp.audfprint.peaks import find_peaks_batch
+    from musicfpaugment_tpu.data.synthetic import synth_tracks_device
+
+    HCAP = 4096
+
+    @jax.jit
+    def prog(corpus_key, indices):
+        wavs = synth_tracks_device(corpus_key, indices, track_seconds * sr, sr)
+        masks = find_peaks_batch(wavs)
+        C = int(masks.shape[-1])
+        max_peaks = -(-5 * C // 128) * 128
+        th, v = lm.hashes_from_masks_batched(
+            masks, max_peaks=max_peaks, max_hashes=max_peaks * lm.MAXPAIRSPERPEAK
+        )
+        t, h, v = lm.sort_dedup_hashes(th[..., 0], th[..., 1], v)
+        t, h, n = lm.compact_valid_first(t, h, v, out_len=HCAP)
+        return jnp.stack([t, h], axis=-1), jnp.minimum(n, HCAP)
+
+    ht = HashTable()
+    corpus_key = jax.random.PRNGKey(0)
+    batch_secs = []
+    pending = None
+
+    def drain(p):
+        p_start, out = p
+        th, counts = jax.device_get(out)
+        for j in range(batch_size):
+            ht.store(f"t{p_start + j:06d}", th[j, : counts[j]])
+
+    t_all = time.perf_counter()
+    t0 = time.perf_counter()
+    for start in range(0, n_tracks, batch_size):
+        idx = np.arange(start, start + batch_size, dtype=np.int32)
+        out = prog(corpus_key, idx)
+        if pending is not None:
+            drain(pending)
+        pending = (start, out)
+        batch_secs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+    drain(pending)
+    steady = float(np.median(batch_secs[2:]))
+    rate = batch_size / steady
+    log(f"device-originated ingest: {n_tracks} tracks in "
+        f"{time.perf_counter() - t_all:.1f}s ({ht.totalhashes()} hashes), "
+        f"steady {rate:.0f} tracks/s (first batch incl. compile "
+        f"{batch_secs[0]:.1f}s)")
+    return rate
+
+
 def bench_train_step(
     model_name: str = "unet", batch_size: int = 128, sr: int = 8000,
     bf16: bool = False,
@@ -478,6 +542,8 @@ def run_section(name: str) -> None:
         out = {"scan_qps": scan_qps, "pallas_qps": pallas_qps}
     elif name == "match":
         out = {"queries_per_sec": bench_end_to_end_match()}
+    elif name == "index":
+        out = {"tracks_per_sec": bench_index()}
     elif name == "dejavu":
         out = {"queries_per_sec": bench_dejavu_match()}
     else:
@@ -551,6 +617,7 @@ def main() -> None:
         ("train_demucs_bf16", 900.0),
         ("match", 900.0),
         ("dejavu", 900.0),
+        ("index", 600.0),
         ("peaks", 600.0),
     )
     for name, timeout in secondary:

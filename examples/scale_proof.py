@@ -23,11 +23,14 @@ re-invoked until done; state lives in --workdir):
             oracle at full depth.
   report  — merge everything into results.json.
 
-Run (chunked):
+Run (chunked; reference workload = shifts 4, dcase-shaped banks, denoise
+comparison — VERDICT r3 #2/#3/#6):
   python examples/scale_proof.py ingest --tracks 106574 --minutes 8
   ... repeat until "ingest complete" ...
-  python examples/scale_proof.py match --queries 1024
-  python examples/scale_proof.py oracle
+  python examples/scale_proof.py train --banks dcase
+  python examples/scale_proof.py match --queries 4096 --shifts 4 \
+      --banks dcase --denoise
+  python examples/scale_proof.py oracle --shifts 4
   python examples/scale_proof.py report
 """
 
@@ -179,18 +182,125 @@ def stage_ingest(args):
     _save_state(args.workdir, state)
 
 
-def _condition_augmenter(name, params):
+_BANK_CACHE = {}
+
+
+def _banks(args):
+    """Degradation banks, built once per process and reused across every
+    condition (the dcase-shaped noise bank is ~hours of audio — hundreds of
+    MB host-side — and uploads to HBM once via the AugmentFP jit arguments).
+
+    ``--banks dcase`` (VERDICT r3 #6) matches the reference corpus *shape*:
+    15 scene-structured noise timbres totalling --bank-hours of audio and a
+    271-IR reverb pool (ref: augmentation/constants.py:1-25,
+    training/background_noise.py:51-108); ``--banks toy`` keeps the round-3
+    32-row/16-IR pool for continuity with the r3 artifacts.
+    """
     from musicfpaugment_tpu import augment
 
-    noise_bank, ir_bank = augment.synthetic_banks(
-        sample_rate=SR, noise_row_length=QUERY_SECONDS * SR,
-        num_noise=32, num_irs=16,
-    )
+    key = (args.banks, round(args.bank_hours, 3))
+    if key not in _BANK_CACHE:
+        if args.banks == "dcase":
+            _BANK_CACHE[key] = augment.dcase_shaped_banks(
+                sample_rate=SR, noise_row_length=QUERY_SECONDS * SR,
+                hours=args.bank_hours, num_scenes=15, num_irs=271, seed=7,
+            )
+        else:
+            _BANK_CACHE[key] = augment.synthetic_banks(
+                sample_rate=SR, noise_row_length=QUERY_SECONDS * SR,
+                num_noise=32, num_irs=16,
+            )
+    return _BANK_CACHE[key]
+
+
+def _condition_augmenter(name, params, args):
+    from musicfpaugment_tpu import augment
+
+    noise_bank, ir_bank = _banks(args)
     fp = augment.AugmentFP(
         noise_bank, SR, parameters=params, impulse_response_dir=ir_bank
     )
     fp.freeze_parameters(42)
     return fp
+
+
+def stage_train(args):
+    """Train the UNet spectrogram denoiser used by ``match --denoise``
+    (VERDICT r3 #2: the paper's no-denoise/denoise/mix comparison has to run
+    at reference scale, which needs a trained model — ref training/train.py
+    and testing/audfprint_exps.py:160-185). Synthetic clean batches, the
+    same banks as the match conditions, on-device augmentation inside the
+    jitted step; params land in ``workdir/unet.pkl``."""
+    import pickle
+    import tempfile
+
+    import jax
+
+    from musicfpaugment_tpu import augment
+    from musicfpaugment_tpu.data.synthetic import synthetic_clean_batches
+    from musicfpaugment_tpu.models import UNet
+    from musicfpaugment_tpu.train.trainer import Trainer
+
+    os.makedirs(args.workdir, exist_ok=True)
+    noise_bank, ir_bank = _banks(args)
+    augmenter = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    model = UNet(1, 1, rate=0.05)
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as ckpt:
+        trainer = Trainer(
+            model=model,
+            train_iter=synthetic_clean_batches(args.train_batch, 3 * SR, SR, seed=11),
+            train_steps=args.train_steps,
+            val_iter=synthetic_clean_batches(args.train_batch, 3 * SR, SR, seed=12),
+            val_steps=4,
+            learning_rate=1e-3,
+            nb_epochs=args.train_epochs + 1,
+            checkpoint=ckpt,
+            input_type="spec",
+            augmenter=augmenter,
+            example_batch=next(synthetic_clean_batches(args.train_batch, 3 * SR, SR)),
+        )
+        trainer.start_epoch()
+        trainer.training_loop()
+        params = jax.device_get(trainer.state.params)
+        batch_stats = jax.device_get(dict(trainer.state.batch_stats))
+        losses = [float(h["val"]["loss"]) for h in trainer.history]
+    with open(os.path.join(args.workdir, "unet.pkl"), "wb") as f:
+        pickle.dump({"params": params, "batch_stats": batch_stats}, f)
+    state = _load_state(args.workdir)
+    state["denoiser_train"] = {
+        "model": "unet",
+        "epochs": args.train_epochs,
+        "steps_per_epoch": args.train_steps,
+        "batch": args.train_batch,
+        "banks": args.banks,
+        "val_loss": [round(x, 5) for x in losses],
+        "train_seconds": round(time.time() - t0, 1),
+    }
+    _save_state(args.workdir, state)
+    print("trained denoiser:", json.dumps(state["denoiser_train"]), flush=True)
+
+
+def _load_denoiser(workdir):
+    """-> spectrogram-denoiser hook for the fused match program, or raises.
+    Layout contract: (B, F, C) magnitude spectrograms, the same frontend the
+    trainer used (train/trainer.py spectrogram_batch)."""
+    import pickle
+
+    from musicfpaugment_tpu.models import UNet
+
+    with open(os.path.join(workdir, "unet.pkl"), "rb") as f:
+        variables = pickle.load(f)
+    model = UNet(1, 1, rate=0.05)
+
+    def hook(sgram):
+        return model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            sgram, train=False,
+        )
+
+    return hook
 
 
 def _make_queries(corpus_key, qidx, offsets, batch):
@@ -244,19 +354,29 @@ def stage_match(args):
         keep = set(args.conditions.split(","))
         conditions = {k: v for k, v in conditions.items() if k in keep}
 
-    # warm up the fused program once (the first call pays trace+compile;
+    # the paper's core comparison (VERDICT r3 #2): every query also runs
+    # through the UNet-denoised analyzer, and the mix rule picks whichever
+    # variant aligned more hashes (ref: testing/audfprint_exps.py:160-185)
+    denoiser = _load_denoiser(args.workdir) if args.denoise else None
+
+    # warm up the fused program(s) once (the first call pays trace+compile;
     # per-condition numbers should be the steady identification rate)
     warm = _make_queries(corpus_key, qidx[: args.batch], offsets[: args.batch],
                          args.batch)
     dm.match_waveforms(warm, shifts=args.shifts)
+    if denoiser is not None:
+        dm.match_waveforms(warm, shifts=args.shifts, denoiser=denoiser)
 
     results = state.get("conditions", {})
     for cond, params in conditions.items():
         if cond in results and not args.rerun:
             continue
-        fp = _condition_augmenter(cond, params) if params is not None else None
-        correct = n_done = 0
-        match_s = 0.0
+        fp = (
+            _condition_augmenter(cond, params, args)
+            if params is not None else None
+        )
+        correct = correct_den = correct_mix = n_done = 0
+        match_s = match_den_s = 0.0
         t_cond = time.perf_counter()
         for s in range(0, args.queries, args.batch):
             tids = qidx[s : s + args.batch]
@@ -272,16 +392,39 @@ def stage_match(args):
             t0 = time.perf_counter()
             verdicts = dm.match_waveforms(crops, shifts=args.shifts)
             match_s += time.perf_counter() - t0
-            for v, tid in zip(verdicts, tids):
+            if denoiser is not None:
+                t0 = time.perf_counter()
+                verd_den = dm.match_waveforms(
+                    crops, shifts=args.shifts, denoiser=denoiser
+                )
+                match_den_s += time.perf_counter() - t0
+            else:
+                verd_den = verdicts
+            for v, vd, tid in zip(verdicts, verd_den, tids):
                 n_done += 1
-                if v[0] == "MATCH" and v[1] == f"t{tid:06d}":
+                gt = f"t{tid:06d}"
+                if v[0] == "MATCH" and v[1] == gt:
                     correct += 1
+                if denoiser is not None:
+                    if vd[0] == "MATCH" and vd[1] == gt:
+                        correct_den += 1
+                    # mix rule: more aligned hashes wins (ref:
+                    # audfprint_exps.py:74-80)
+                    best = v if v[2] >= vd[2] else vd
+                    if best[0] == "MATCH" and best[1] == gt:
+                        correct_mix += 1
         results[cond] = {
             "accuracy": round(correct / max(n_done, 1), 4),
             "n_queries": n_done,
             "match_qps": round(n_done / match_s, 1),
             "wall_s": round(time.perf_counter() - t_cond, 1),
         }
+        if denoiser is not None:
+            results[cond].update(
+                accuracy_den=round(correct_den / max(n_done, 1), 4),
+                accuracy_mix=round(correct_mix / max(n_done, 1), 4),
+                match_den_qps=round(n_done / match_den_s, 1),
+            )
         print(cond, results[cond], flush=True)
         state["conditions"] = results
         state.update(
@@ -290,6 +433,8 @@ def stage_match(args):
             table_upload_s=round(upload_s, 1),
             match_batch=args.batch,
             match_shifts=args.shifts,
+            match_banks=args.banks,
+            match_denoise=bool(denoiser is not None),
         )
         _save_state(args.workdir, state)
 
@@ -318,7 +463,8 @@ def stage_oracle(args):
     corpus_key = jax.random.PRNGKey(args.corpus_seed)
     crops = _make_queries(corpus_key, qidx, offsets, n)
     fp = _condition_augmenter(
-        "default_parameters", test_pipelines_parameters["default_parameters"]
+        "default_parameters", test_pipelines_parameters["default_parameters"],
+        args,
     )
     aug = np.asarray(
         fp.batch_augment_indexed(crops[:, None, :], np.arange(n))
@@ -370,7 +516,9 @@ def main():
         pass
 
     p = argparse.ArgumentParser()
-    p.add_argument("stage", choices=["ingest", "match", "oracle", "report"])
+    p.add_argument(
+        "stage", choices=["ingest", "train", "match", "oracle", "report"]
+    )
     p.add_argument("--workdir", default="/tmp/scale_proof")
     p.add_argument("--tracks", type=int, default=106574)  # |FMA-large|
     p.add_argument("--queries", type=int, default=1024)
@@ -381,9 +529,17 @@ def main():
     p.add_argument("--corpus-seed", type=int, default=1234)
     p.add_argument("--oracle-n", type=int, default=32)
     p.add_argument("--rerun", action="store_true")
+    p.add_argument("--banks", choices=["toy", "dcase"], default="toy")
+    p.add_argument("--bank-hours", type=float, default=3.0)
+    p.add_argument("--denoise", action="store_true",
+                   help="also run the UNet-denoised analyzer + mix rule "
+                        "(train the model first: scale_proof.py train)")
+    p.add_argument("--train-epochs", type=int, default=20)
+    p.add_argument("--train-steps", type=int, default=16)
+    p.add_argument("--train-batch", type=int, default=32)
     args = p.parse_args()
     dict(
-        ingest=stage_ingest, match=stage_match,
+        ingest=stage_ingest, train=stage_train, match=stage_match,
         oracle=stage_oracle, report=stage_report,
     )[args.stage](args)
 

@@ -12,7 +12,7 @@ from musicfpaugment_tpu.augment.constants import (
     IMPULSE_RESPONSE_DIR,
     WAVEFORM_SAMPLING_RATE,
 )
-from musicfpaugment_tpu.augment.pipeline import AugmentFP, synthetic_banks
+from musicfpaugment_tpu.augment.pipeline import AugmentFP, dcase_shaped_banks, synthetic_banks
 from musicfpaugment_tpu.augment.transforms import (
     AddBackgroundNoise,
     AddColoredNoise,
@@ -30,6 +30,7 @@ from musicfpaugment_tpu.augment.transforms import (
 __all__ = [
     "AugmentFP",
     "synthetic_banks",
+    "dcase_shaped_banks",
     "IRBank",
     "NoiseBank",
     "build_ir_bank",

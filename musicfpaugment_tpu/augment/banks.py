@@ -148,11 +148,18 @@ def build_noise_bank(
         arrays = [background_paths[i] for i in range(background_paths.shape[0])]
         scenes = {"synthetic": arrays}
     elif isinstance(background_paths, dict):
+        # values may be file paths or pre-decoded arrays (scene-structured
+        # synthetic banks — augment.dcase_shaped_banks — skip the decode)
         scenes = {}
         for scene, paths in background_paths.items():
             if max_clips_per_scene is not None:
                 paths = list(paths)[:max_clips_per_scene]
-            scenes[scene] = [_load_mono(p, sample_rate) for p in paths]
+            scenes[scene] = [
+                np.asarray(p, np.float32)
+                if isinstance(p, np.ndarray)
+                else _load_mono(p, sample_rate)
+                for p in paths
+            ]
     else:
         scenes = {"all": [_load_mono(p, sample_rate) for p in background_paths]}
 

@@ -417,6 +417,7 @@ def test_hashes_batch_device_matches_host(rng):
 
 # ----------------------------------------------------- mixed-length batches
 
+@pytest.mark.slow
 def test_padded_peaks_match_unpadded(rng):
     """VERDICT r2 #7: a mixed-length batch padded by pad_waveform_batch and
     masked via valid_frames yields, per example, exactly the peak mask of

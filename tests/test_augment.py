@@ -363,6 +363,7 @@ def test_fast_chain_matches_exact_chain(banks):
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fused_lti_matches_unfused(banks):
     """fused_highpass_ir (HPF1 ⊛ IR as one overlap-save pass, including the
     left-edge truncation correction) == the stage-by-stage pair, for every
@@ -448,3 +449,24 @@ def test_fused_lti_long_ir(banks):
     )
     scale = max(np.abs(unf).max(), 1.0)
     np.testing.assert_allclose(fused / scale, unf / scale, atol=5e-6)
+
+
+@pytest.mark.slow
+def test_dcase_shaped_banks_shapes_and_pipeline():
+    """VERDICT r3 #6: reference-corpus-SHAPED banks — scene-structured noise
+    rows across 15 scene timbres and a 271-IR reverb pool (the MIT survey
+    count, ref augmentation/constants.py:23-25) — build and drive the full
+    augmentation pipeline."""
+    nb, ib = augment.dcase_shaped_banks(
+        sample_rate=SR, noise_row_length=2 * SR, hours=0.05,
+        num_scenes=5, num_irs=17, seed=3,
+    )
+    assert nb.scene_starts.shape[0] == 5
+    assert int(nb.scene_counts.sum()) == max(5, int(0.05 * 3600 * SR / (2 * SR)))
+    assert ib.irs.shape[0] == 17
+    assert np.isfinite(np.asarray(nb.clips)).all()
+    assert np.isfinite(np.asarray(ib.irs)).all()
+    fp = augment.AugmentFP(nb, SR, impulse_response_dir=ib)
+    x = jnp.asarray(_music(batch=4)[:, 0, :])
+    y = np.asarray(fp.batch_augment(x, key=jax.random.PRNGKey(0)))
+    assert y.shape == x.shape and np.isfinite(y).all()

@@ -144,6 +144,7 @@ def test_device_matcher_matches_host_align(rng):
             assert v["results"][0]["song_name"].decode() == gt
 
 
+@pytest.mark.slow
 def test_device_index_save_load_roundtrip(tmp_path, rng):
     from musicfpaugment_tpu.afp.dejavu import (
         DejavuDeviceIndex,

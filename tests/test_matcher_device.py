@@ -107,6 +107,7 @@ def test_device_matcher_refresh(corpus):
     assert status == "MATCH" and name == "late_track"
 
 
+@pytest.mark.slow
 def test_match_waveforms_fused_equals_staged(corpus):
     """The single-program waveform->verdict path must agree with the staged
     peaks->hashes->match path (identical hashing + matching semantics)."""

@@ -62,6 +62,7 @@ def corpus():
     return tracks, np.stack(queries)
 
 
+@pytest.mark.slow
 def test_audfprint_mesh_matches_single(corpus):
     tracks, queries = corpus
     analyzer = AudfprintPeaks(PARAMS)
@@ -76,6 +77,7 @@ def test_audfprint_mesh_matches_single(corpus):
     assert sum(s == "MATCH" for s, _, _ in single) >= len(queries) - 2
 
 
+@pytest.mark.slow
 def test_dejavu_mesh_matches_single(corpus):
     tracks, queries = corpus
     idx = DejavuDeviceIndex()

@@ -110,6 +110,7 @@ def test_demucs_rescale_params():
     )
 
 
+@pytest.mark.slow
 def test_demucs_normalization_invariance():
     """With normalize=True, scaling the input scales the output ~linearly
     (std is divided out then multiplied back, model.py:294-326)."""
@@ -124,6 +125,7 @@ def test_demucs_normalization_invariance():
     np.testing.assert_allclose(y2, 100.0 * y1, atol=0.01 * scale)
 
 
+@pytest.mark.slow
 def test_unet_bf16_mixed_precision():
     """dtype=bfloat16 computes in bf16 but keeps f32 params and f32 output."""
     model = UNet(1, 1, rate=0.0, base=8, dtype=jnp.bfloat16)
@@ -136,6 +138,7 @@ def test_unet_bf16_mixed_precision():
     assert bool(jnp.isfinite(y).all())
 
 
+@pytest.mark.slow
 def test_demucs_bf16_close_to_f32():
     """VERDICT r2 #4: the bf16 mixed-precision option (params f32, compute
     bf16 through encoder/LSTM/decoder, f32 resampling) shares parameter

@@ -178,6 +178,7 @@ def test_live_postgres_round_trip(live_db):
     assert db.get_num_fingerprints() == 0
 
 
+@pytest.mark.slow
 def test_live_postgres_dejavu_flow(live_db, tmp_path, rng):
     """The full dejavu index + recognize flow (VERDICT r2 #8) with every DB
     statement crossing the wire: fingerprint a small wav corpus into the

@@ -240,6 +240,7 @@ def test_endtoend_hashes_close_to_reference(ref, tmp_path):
     assert jac >= 0.97, f"hash-set Jaccard vs reference = {jac:.4f}"
 
 
+@pytest.mark.slow
 def test_match_verdicts_match_reference(ref, tmp_path):
     """Full identification A/B: the same 8-track corpus indexed by each
     framework's own pipeline, the same member/non-member queries matched by

@@ -149,6 +149,7 @@ def test_trainer_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(tmp_path):
     """Same seed/state, 8-device mesh vs 1-device mesh -> same loss."""
     model = UNet(1, 1, rate=0.0, base=8)
@@ -178,6 +179,7 @@ def test_cqt_tone_peak_bin():
     assert mag.shape[1] == int(np.ceil(bpo * np.log2(3999.0 / f_min)))
 
 
+@pytest.mark.slow
 def test_multi_resolution_cqt_loss_orders_similarity(rng):
     from musicfpaugment_tpu.train.cqt import multi_resolution_cqt_loss
 
@@ -190,6 +192,7 @@ def test_multi_resolution_cqt_loss_orders_similarity(rng):
     assert float(sc1) >= 0 and np.isfinite(float(mag1))
 
 
+@pytest.mark.slow
 def test_train_cli_smoke(tmp_path, monkeypatch):
     """The training CLI runs end-to-end on synthetic data."""
     import sys
