@@ -83,6 +83,40 @@ def main():
     up = jax.jit(lambda x: upsample2(upsample2(x[:, None, :])))
     timeit("upsample2 x2 (f32)", up, x)
 
+    # ------------------------------------------------- cumulative prefixes
+    # Standalone per-stage jits mislead (XLA fuses differently in context);
+    # the honest split is one jit per *prefix* of the real forward, marginal
+    # cost = difference of consecutive prefixes. Same for the loss side:
+    # fwd -> fwd+loss -> grad(fwd+loss).
+    from musicfpaugment_tpu.train.losses import (
+        l1_loss,
+        multi_resolution_stft_loss,
+    )
+
+    print("--- cumulative prefix profile (f32) ---", flush=True)
+    model = Demucs()
+    v = model.init(jax.random.PRNGKey(0), x[:2])
+    prev = 0.0
+    for stop in ("frontend", "enc1", "enc", "lstm", "dec", None):
+        fn = jax.jit(
+            lambda v, x, s=stop: model.apply(v, x, stop_at=s)
+        )
+        dt = timeit(f"prefix..{stop or 'full'}", fn, v, x, iters=4)
+        print(f"  marginal {stop or 'downsample+tail'}: {dt - prev:.1f} ms",
+              flush=True)
+        prev = dt
+
+    def loss_fn(v, x):
+        y = model.apply(v, x)
+        sc, mag = multi_resolution_stft_loss(y, x)
+        return l1_loss(y, x) + sc + mag
+
+    dt_l = timeit("fwd+mrstft_loss", jax.jit(loss_fn), v, x, iters=4)
+    print(f"  marginal mrstft_loss: {dt_l - prev:.1f} ms", flush=True)
+    dt_g = timeit("grad(fwd+mrstft_loss)", jax.jit(jax.grad(loss_fn)), v, x,
+                  iters=4)
+    print(f"  marginal backward: {dt_g - dt_l:.1f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -235,6 +235,13 @@ class _Handler(threading.Thread):
         self._send(b"2")
 
     def _on_describe(self, payload: bytes) -> None:
+        # Caveat (scope: the dejavu DB layer only): Describe EXECUTES the
+        # portal's statement to derive its RowDescription, caching rows for
+        # the Execute that libpq always sends next. A client that Describes
+        # without Executing, or Executes the same portal twice, would see
+        # the statement's side effects doubled/misplaced — fine for every
+        # flow this shim backs (pglib/psycopg2 extended-query), wrong as a
+        # general PG server.
         kind, name = payload[:1], payload[1:].split(b"\x00", 1)[0]
         if kind != b"P" or name not in self._portals:
             self._send(b"n")  # NoData

@@ -108,8 +108,15 @@ class Demucs(nn.Module):
         return self.stride**self.depth // self.resample
 
     @nn.compact
-    def __call__(self, mix: Array) -> Array:
-        """mix: (batch, time) or (batch, channels, time), channel-first."""
+    def __call__(self, mix: Array, stop_at: str | None = None) -> Array:
+        """mix: (batch, time) or (batch, channels, time), channel-first.
+
+        ``stop_at`` returns the intermediate activation after a named
+        milestone — ``frontend`` (normalize+pad+resample), ``enc1`` (first
+        encoder stage), ``enc`` (all encoder stages), ``lstm``, ``dec``
+        (decoder, pre-downsample). Profiling hook only (cumulative-prefix
+        stage timing, examples/profile_demucs.py): standalone per-stage jits
+        mislead because XLA fuses differently in context."""
         squeeze_channel = mix.ndim == 2
         if squeeze_channel:
             mix = mix[:, None, :]
@@ -132,6 +139,8 @@ class Demucs(nn.Module):
             x = upsample2(upsample2(x))
 
         x = jnp.swapaxes(x, 1, 2)  # -> (B, T, C)
+        if stop_at == "frontend":
+            return x
         if self.dtype is not None:
             # sinc resampling stays f32 — the encoder/LSTM/decoder stack
             # computes in bf16. Stage profile (examples/profile_demucs.py,
@@ -147,16 +156,22 @@ class Demucs(nn.Module):
         plan = self.channel_plan()
 
         skips = []
-        for chin_i, _, hidden_i in plan:
+        for stage, (chin_i, _, hidden_i) in enumerate(plan):
             x = nn.Conv(hidden_i, (self.kernel_size,), strides=(self.stride,),
                         padding="VALID", dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.Conv(hidden_i * ch_scale, (1,), dtype=self.dtype)(x)
             x = act(x)
             skips.append(x)
+            if stage == 0 and stop_at == "enc1":
+                return x
+        if stop_at == "enc":
+            return x
 
         lstm_dim = plan[-1][2]
         x = BLSTM(lstm_dim, bi=not self.causal, dtype=self.dtype)(x)
+        if stop_at == "lstm":
+            return x
 
         for i, (chin_i, chout_i, hidden_i) in enumerate(reversed(plan)):
             skip = skips.pop(-1)
@@ -169,6 +184,8 @@ class Demucs(nn.Module):
             if i < self.depth - 1:  # ReLU on all but the output decode
                 x = nn.relu(x)
 
+        if stop_at == "dec":
+            return x
         x = jnp.swapaxes(x, 1, 2).astype(mix.dtype)  # -> (B, C, T), f32
         if self.resample == 2:
             x = downsample2(x)
