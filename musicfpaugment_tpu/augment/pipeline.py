@@ -193,7 +193,12 @@ class AugmentFP:
             self._fast_pipeline if self.fast_chain else self.augmentation_pipeline
         )
         if self.fuse_lti and samples.ndim == 2:
-            from musicfpaugment_tpu.augment.transforms import fused_highpass_ir
+            from musicfpaugment_tpu.augment.transforms import (
+                HighPassFilter,
+                LowPassFilter,
+                fused_highpass_ir,
+                fused_lowpass_highpass,
+            )
 
             tfms = pipeline.transforms
             keys = jax.random.split(key, len(tfms))
@@ -201,11 +206,27 @@ class AugmentFP:
                 keys[0], keys[1], samples, self.sample_rate,
                 tfms[0], tfms[1], ir_bank,
             )
-            for i in range(2, len(tfms)):
+            i = 2
+            while i < len(tfms):
+                # trailing LPF2 -> HPF3 pair: one fused conv pass (HPF is a
+                # LowPassFilter subclass, so order the checks)
+                if (
+                    i + 1 < len(tfms)
+                    and isinstance(tfms[i], LowPassFilter)
+                    and not isinstance(tfms[i], HighPassFilter)
+                    and isinstance(tfms[i + 1], HighPassFilter)
+                ):
+                    out = fused_lowpass_highpass(
+                        keys[i], keys[i + 1], out, self.sample_rate,
+                        tfms[i], tfms[i + 1],
+                    )
+                    i += 2
+                    continue
                 out = tfms[i](
                     keys[i], out, self.sample_rate,
                     noise_bank=noise_bank, ir_bank=ir_bank,
                 )
+                i += 1
         else:
             out = pipeline.apply(
                 key, samples, self.sample_rate,

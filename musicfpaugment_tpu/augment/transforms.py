@@ -705,6 +705,95 @@ def fused_highpass_ir(
     return jnp.where(off[:, None], samples, y)
 
 
+def _conv_edge_valid(x: Array, kernels: Array, pad: int) -> Array:
+    """Replicate-pad by ``pad`` then 'valid' per-example convolution, with
+    the same direct/FFT dispatch as :func:`core.filters.lowpass_filter`
+    (kernels: (B, 2*pad+1))."""
+    from musicfpaugment_tpu.core.filters import (
+        DIRECT_CONV_MAX_TAPS,
+        _direct_conv_valid,
+        _edge_pad,
+    )
+
+    padded = _edge_pad(x, pad)
+    if kernels.shape[-1] <= DIRECT_CONV_MAX_TAPS:
+        return _direct_conv_valid(padded, kernels)
+    return fft_convolve(padded, kernels, mode="valid")
+
+
+def fused_lowpass_highpass(
+    key_lpf: jax.Array,
+    key_hpf: jax.Array,
+    samples: Array,
+    sample_rate: int,
+    lpf: "LowPassFilter",
+    hpf: "HighPassFilter",
+) -> Array:
+    """LPF2 and HPF3 (the chain's trailing filter pair) as ONE conv pass.
+
+    Both are per-example LTI stages, so the cascade is one convolution by
+    the combined kernel ``e_l ⊛ (δ − k_h)`` where ``e_l`` is the low-pass
+    kernel (or δ for gated-off lanes — the unfused stage lane-selects) and
+    ``k_h`` the high-pass's low-pass part (cutoff 0 for gated-off lanes,
+    exactly as ``HighPassFilter.transform_gated``). Saves the low-pass's
+    full-signal memory pass.
+
+    Unlike the HPF1⊛IR fusion, BOTH stages replicate-pad their own input,
+    and stage 2 pads the *stage-1 output* — a plain fused conv gets every
+    sample within ``E = H_l + H_h`` of either edge wrong (round-3 measured
+    the uncorrected boundary error at ~1k samples). The exact fix: the
+    interior comes from the fused kernel (identical by LTI composition, up
+    to float associativity), and the two ``E``-sample edge regions are
+    recomputed stage-by-stage on short slices (length ``2E``), which is
+    exact because a valid conv only reads ``H`` neighbours: the slice
+    values feeding the kept outputs are never contaminated by the slice's
+    own replicate padding. Key usage matches the unfused stages
+    (same splits, same Bernoulli gates, same cutoff draws), so frozen-seed
+    streams are unchanged. Mono (B, T) only.
+    """
+    B, T = samples.shape
+    Hl, Hh = lpf.half_size_max, hpf.half_size_max
+    E = Hl + Hh
+    # --- draws (identical key usage to BaseWaveformTransform.__call__)
+    k_mask_l, k_tfm_l = jax.random.split(key_lpf)
+    mask_l = _gate_mask(k_mask_l, lpf.p, B)
+    c_l = lpf._sample_cutoffs(k_tfm_l, B, sample_rate)
+    k_mask_h, k_tfm_h = jax.random.split(key_hpf)
+    mask_h = _gate_mask(k_mask_h, hpf.p, B)
+    c_h = hpf._sample_cutoffs(k_tfm_h, B, sample_rate)
+    c_h = jnp.where(mask_h, c_h, 0.0)
+    # --- effective kernels
+    k_l = lowpass_kernels(c_l, Hl)  # (B, 2*Hl+1)
+    delta_l = jnp.zeros((2 * Hl + 1,), samples.dtype).at[Hl].set(1.0)
+    e_l = jnp.where(mask_l[:, None], k_l, delta_l[None, :])
+    k_h = lowpass_kernels(c_h, Hh)  # rows are exact zeros when cutoff <= 0
+    d_h = (-k_h).at[:, Hh].add(1.0)  # δ − k_h
+
+    if T <= 2 * E:
+        # too short to stitch — run the stages (still fewer passes than the
+        # generic chain: gating rides the kernels)
+        y = _conv_edge_valid(samples, e_l, Hl)
+        z = y - _conv_edge_valid(y, k_h, Hh)
+    else:
+        k_c = fft_convolve(e_l, d_h, mode="full")  # (B, 2E+1)
+        z = _conv_edge_valid(samples, k_c, E)
+        # exact staged edges on 2E-sample slices. Left: y values feeding
+        # kept outputs are y[0 : E+Hh), whose windows end at x[E+Hh+Hl-1]
+        # = x[2E-1] — inside the slice; the HPF's left replicate pad sees
+        # the true y[0]. Right: mirrored.
+        xl = samples[:, : 2 * E]
+        yl = _conv_edge_valid(xl, e_l, Hl)[:, : E + Hh]
+        zl = yl - _conv_edge_valid(yl, k_h, Hh)
+        xr = samples[:, T - 2 * E :]
+        yr = _conv_edge_valid(xr, e_l, Hl)
+        zr = yr - _conv_edge_valid(yr, k_h, Hh)
+        z = z.at[:, :E].set(zl[:, :E])
+        z = z.at[:, T - E :].set(zr[:, -E:])
+    # bit-exact passthrough where both gates are off, as unfused
+    off = ~mask_l & (c_h <= 0.0)
+    return jnp.where(off[:, None], samples, z)
+
+
 __all__ = [
     "BaseWaveformTransform",
     "LowPassFilter",
@@ -719,4 +808,5 @@ __all__ = [
     "Identity",
     "PeakNormalization",
     "fused_highpass_ir",
+    "fused_lowpass_highpass",
 ]

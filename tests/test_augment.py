@@ -470,3 +470,41 @@ def test_dcase_shaped_banks_shapes_and_pipeline():
     x = jnp.asarray(_music(batch=4)[:, 0, :])
     y = np.asarray(fp.batch_augment(x, key=jax.random.PRNGKey(0)))
     assert y.shape == x.shape and np.isfinite(y).all()
+
+
+@pytest.mark.slow
+def test_fused_lowpass_highpass_matches_unfused(banks):
+    """fused_lowpass_highpass (LPF2 ⊛ HPF3 as one pass, exact staged edge
+    stitching) == the stage-by-stage pair across gate combinations,
+    including the E = H_l + H_h boundary regions that a naive fused conv
+    gets wrong."""
+    noise_bank, ir_bank = banks
+    fp = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
+    tfms = fp._fast_pipeline.transforms
+    lpf_i = next(
+        i for i, t in enumerate(tfms)
+        if isinstance(t, T.LowPassFilter) and not isinstance(t, T.HighPassFilter)
+        and i > 1
+    )
+    lpf, hpf = tfms[lpf_i], tfms[lpf_i + 1]
+    assert isinstance(hpf, T.HighPassFilter)
+    x = jnp.asarray(_music(batch=16)[:, 0, :])
+    for seed in (0, 3, 11):
+        kl, kh = jax.random.split(jax.random.PRNGKey(seed))
+        fused = np.asarray(
+            T.fused_lowpass_highpass(kl, kh, x, SR, lpf, hpf)
+        )
+        y = lpf(kl, x, SR, noise_bank=fp.noise_bank, ir_bank=fp.ir_bank)
+        unf = np.asarray(
+            hpf(kh, y, SR, noise_bank=fp.noise_bank, ir_bank=fp.ir_bank)
+        )
+        scale = max(np.abs(unf).max(), 1.0)
+        np.testing.assert_allclose(fused / scale, unf / scale, atol=3e-6)
+    # short-input branch (T <= 2E): staged fallback inside the fused path
+    xs = x[:, : lpf.half_size_max + hpf.half_size_max]
+    kl, kh = jax.random.split(jax.random.PRNGKey(5))
+    fused = np.asarray(T.fused_lowpass_highpass(kl, kh, xs, SR, lpf, hpf))
+    y = lpf(kl, xs, SR, noise_bank=fp.noise_bank, ir_bank=fp.ir_bank)
+    unf = np.asarray(hpf(kh, y, SR, noise_bank=fp.noise_bank, ir_bank=fp.ir_bank))
+    scale = max(np.abs(unf).max(), 1.0)
+    np.testing.assert_allclose(fused / scale, unf / scale, atol=3e-6)
