@@ -431,7 +431,12 @@ def bench_train_step(
         model = UNet(1, 1, rate=0.05, dtype=jnp.bfloat16 if bf16 else None)
         input_type = "spec"
     else:
-        model = Demucs(dtype=jnp.bfloat16 if bf16 else None)
+        # MFPA_DEMUCS_FUSED=0 opts out of the fused x4-resample frontend
+        # (upsample+conv1 / convT+downsample as single stride-1 convs)
+        fused = os.environ.get("MFPA_DEMUCS_FUSED", "1") != "0"
+        model = Demucs(
+            dtype=jnp.bfloat16 if bf16 else None, fused_frontend=fused
+        )
         input_type = "audio"
     if bf16:
         model_name = model_name + "-bf16"

@@ -49,18 +49,22 @@ def main():
     _ = float(x[0, 0])
 
     for dtype, tag in ((None, "f32"), (jnp.bfloat16, "bf16")):
+        for fused in (False, True):
+            model = Demucs(dtype=dtype, fused_frontend=fused)
+            ftag = f"{tag}{'+fused' if fused else ''}"
+            v = model.init(jax.random.PRNGKey(0), x[:2])
+
+            fwd = jax.jit(lambda v, x, model=model: model.apply(v, x))
+            timeit(f"demucs[{ftag}] forward", fwd, v, x)
+
+            def loss(v, x, model=model):
+                y = model.apply(v, x)
+                return jnp.mean(jnp.abs(y - x))
+
+            grad = jax.jit(jax.grad(loss))
+            timeit(f"demucs[{ftag}] fwd+bwd(L1)", grad, v, x)
         model = Demucs(dtype=dtype)
         v = model.init(jax.random.PRNGKey(0), x[:2])
-
-        fwd = jax.jit(lambda v, x: model.apply(v, x))
-        timeit(f"demucs[{tag}] forward", fwd, v, x)
-
-        def loss(v, x):
-            y = model.apply(v, x)
-            return jnp.mean(jnp.abs(y - x))
-
-        grad = jax.jit(jax.grad(loss))
-        timeit(f"demucs[{tag}] fwd+bwd(L1)", grad, v, x)
 
         # BLSTM alone at the bottleneck shape (T after x4 resample, /4^5)
         t_btl = (n * 4) // (4**5)

@@ -81,6 +81,15 @@ class Demucs(nn.Module):
     floor: float = 1e-3
     sample_rate: int = 8000
     dtype: Any = None  # compute dtype (bf16 mixed precision); params stay f32
+    # Collapse x4-upsample + first encoder conv into ONE stride-1 conv at
+    # the original rate (core/resample.up4_phase_basis): the learned (8,
+    # chin, hidden) kernel combines the 8 fixed phase FIRs into a ~171-tap
+    # MXU conv, so the (B, 4T) upsampled intermediates are never
+    # materialized. Boundary-exact: the unfused pipeline truncates the x2
+    # intermediate, so the first/last ~basis-width output frames are
+    # recomputed through the real unfused ops on short slices. Same param
+    # tree as unfused (checkpoint-interchangeable).
+    fused_frontend: bool = False
 
     def channel_plan(self):
         chin, chout, hidden = self.chin, self.chout, self.hidden
@@ -106,6 +115,93 @@ class Demucs(nn.Module):
     @property
     def total_stride(self) -> int:
         return self.stride**self.depth // self.resample
+
+    def _fused_first_conv(self, conv0: nn.Conv, x: Array) -> Array:
+        """x4-upsample + first encoder conv as ONE stride-1 conv at the
+        original rate.
+
+        ``z = up4(x)`` obeys ``z[4m+k] = (C_k ⊛ x)[m]`` for 8 fixed FIRs
+        (core/resample.up4_phase_basis), so the stride-4 kernel-8 conv over
+        ``z`` is ``out[m] = Σ_k w_k (C_k ⊛ x)[m] = (W ⊛ x)[m]`` with the
+        per-step combined kernel ``W = Σ_k w_k C_k`` (~171 taps) — the
+        (B, 4T) intermediates never exist. The composition is exact in the
+        interior; the unfused pipeline truncates the x2 intermediate at the
+        signal boundary, so the first/last ``D+2`` output frames are
+        recomputed through the real unfused ops on short slices (same
+        shared ``conv0`` params)."""
+        from musicfpaugment_tpu.core.resample import up4_phase_basis
+
+        c_np, d = up4_phase_basis()
+        # materialize conv0's params (same names/shapes as the unfused
+        # call) without running a strided conv over real data
+        _ = conv0(jnp.zeros((1, self.kernel_size, x.shape[-1]), x.dtype))
+        kern = conv0.variables["params"]["kernel"]  # (8, chin, hidden) f32
+        bias = conv0.variables["params"]["bias"]
+        if self.dtype is not None:
+            kern = kern.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        c = jnp.asarray(c_np, x.dtype)  # (8, 2d+1)
+        # correlation form: F'[t] = Σ_k kern[k] C[k, 2d − t]
+        f = jnp.einsum("kio,kt->tio", kern, c[:, ::-1])
+        y = jax.lax.conv_general_dilated(
+            x, f, window_strides=(1,), padding=[(d, d - 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + bias
+        eo = d + 2
+        ls = eo + d + 8
+        t = x.shape[1]
+
+        def unfused(seg: Array) -> Array:  # (B, L, chin) -> (B, L-1, hidden)
+            z = upsample2(upsample2(jnp.swapaxes(seg, 1, 2)))
+            return conv0(jnp.swapaxes(z, 1, 2))
+
+        y = y.at[:, :eo].set(unfused(x[:, :ls])[:, :eo])
+        y = y.at[:, t - 1 - eo :].set(unfused(x[:, t - ls :])[:, -eo:])
+        return y
+
+    def _fused_last_deconv(self, convt: nn.ConvTranspose, x: Array) -> Array:
+        """Last decoder ConvTranspose (kernel 8 / stride 4) + x4 downsample
+        as ONE stride-1 conv at the original rate.
+
+        ``out[n] = Σ_j Σ_i h[j,i] R[n−j, i, o]`` with the per-step kernel
+        ``R[e] = Σ_k K[k] S_k[e]`` over the 8 fixed downsampler phase FIRs
+        (core/resample.down4_phase_basis; rows 4..7 carry the transpose
+        kernel's second input-frame offset). The ConvTranspose bias feeds
+        the downsampler as a constant, contributing ``bias * Σ taps`` of
+        the 4 phase filters. Interior-exact; the first/last ``D+2`` outputs
+        are recomputed through the real unfused ops on short slices."""
+        from musicfpaugment_tpu.core.resample import (
+            down4_phase_basis,
+            downsample2,
+        )
+
+        s_np, d = down4_phase_basis()
+        _ = convt(jnp.zeros((1, 1, x.shape[-1]), x.dtype))
+        kern = convt.variables["params"]["kernel"]  # (8, in, out) f32
+        bias = convt.variables["params"]["bias"]
+        if self.dtype is not None:
+            kern = kern.astype(self.dtype)
+        s = jnp.asarray(s_np, kern.dtype)  # (8, 2d+1)
+        gamma = float(s_np[:4].sum())
+        # flax ConvTranspose applies the FLIPPED kernel (z[4j+t] reads
+        # kern[K-1-t]); correlation form: F[t] = R[d − t] → flip taps too
+        f = jnp.einsum("kio,kt->tio", kern[::-1], s[:, ::-1])
+        y = jax.lax.conv_general_dilated(
+            x, f, window_strides=(1,), padding=[(d, d + 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + bias.astype(jnp.float32) * gamma
+        eo = d + 2
+        ls = eo + d + 8
+        t = x.shape[1]
+
+        def unfused(seg: Array) -> Array:  # (B, L, in) -> (B, L+1, out)
+            z = jnp.swapaxes(convt(seg), 1, 2).astype(jnp.float32)
+            z = downsample2(downsample2(z))
+            return jnp.swapaxes(z, 1, 2)
+
+        y = y.at[:, :eo].set(unfused(x[:, :ls])[:, :eo])
+        y = y.at[:, t + 1 - eo :].set(unfused(x[:, t - ls :])[:, -eo:])
+        return y
 
     @nn.compact
     def __call__(self, mix: Array, stop_at: str | None = None) -> Array:
@@ -133,10 +229,12 @@ class Demucs(nn.Module):
         x = jnp.pad(
             x, ((0, 0), (0, 0), (0, self.valid_length(length) - length))
         )
-        if self.resample == 2:
-            x = upsample2(x)
-        elif self.resample == 4:
-            x = upsample2(upsample2(x))
+        do_fuse = self.fused_frontend and self.resample == 4
+        if not do_fuse:
+            if self.resample == 2:
+                x = upsample2(x)
+            elif self.resample == 4:
+                x = upsample2(upsample2(x))
 
         x = jnp.swapaxes(x, 1, 2)  # -> (B, T, C)
         if stop_at == "frontend":
@@ -157,8 +255,13 @@ class Demucs(nn.Module):
 
         skips = []
         for stage, (chin_i, _, hidden_i) in enumerate(plan):
-            x = nn.Conv(hidden_i, (self.kernel_size,), strides=(self.stride,),
-                        padding="VALID", dtype=self.dtype)(x)
+            conv_s = nn.Conv(hidden_i, (self.kernel_size,),
+                             strides=(self.stride,), padding="VALID",
+                             dtype=self.dtype)
+            if stage == 0 and do_fuse:
+                x = self._fused_first_conv(conv_s, x)
+            else:
+                x = conv_s(x)
             x = nn.relu(x)
             x = nn.Conv(hidden_i * ch_scale, (1,), dtype=self.dtype)(x)
             x = act(x)
@@ -178,19 +281,24 @@ class Demucs(nn.Module):
             x = x + skip[:, : x.shape[1], :]
             x = nn.Conv(ch_scale * hidden_i, (1,), dtype=self.dtype)(x)
             x = act(x)
-            x = nn.ConvTranspose(chout_i, (self.kernel_size,),
-                                 strides=(self.stride,), padding="VALID",
-                                 dtype=self.dtype)(x)
+            convt = nn.ConvTranspose(chout_i, (self.kernel_size,),
+                                     strides=(self.stride,), padding="VALID",
+                                     dtype=self.dtype)
+            if i == self.depth - 1 and do_fuse:
+                x = self._fused_last_deconv(convt, x)  # already rate-1
+            else:
+                x = convt(x)
             if i < self.depth - 1:  # ReLU on all but the output decode
                 x = nn.relu(x)
 
         if stop_at == "dec":
             return x
         x = jnp.swapaxes(x, 1, 2).astype(mix.dtype)  # -> (B, C, T), f32
-        if self.resample == 2:
-            x = downsample2(x)
-        elif self.resample == 4:
-            x = downsample2(downsample2(x))
+        if not do_fuse:
+            if self.resample == 2:
+                x = downsample2(x)
+            elif self.resample == 4:
+                x = downsample2(downsample2(x))
 
         x = x[..., :length]
         out = std * x

@@ -157,3 +157,43 @@ def test_demucs_bf16_close_to_f32():
     assert ybf.dtype == jnp.float32  # output stays f32
     rel = float(jnp.max(jnp.abs(y32 - ybf)) / (jnp.max(jnp.abs(y32)) + 1e-9))
     assert rel < 0.05
+
+
+def test_demucs_fused_frontend_matches_unfused():
+    """fused_frontend=True (x4 upsample + first conv, and last ConvTranspose
+    + x4 downsample, each as one stride-1 conv via the extracted phase
+    bases) must match the unfused model on the SAME params — including the
+    edge regions recomputed through the real unfused ops."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    m0 = Demucs()
+    v = m0.init(jax.random.PRNGKey(0), x)
+    m1 = Demucs(fused_frontend=True)
+    y0 = np.asarray(m0.apply(v, x))
+    y1 = np.asarray(m1.apply(v, x))
+    assert y0.shape == y1.shape
+    scale = max(np.abs(y0).max(), 1.0)
+    np.testing.assert_allclose(y1 / scale, y0 / scale, atol=2e-5)
+    # enc1 prefix parity (the fused first conv feeds the rest of the net)
+    e0 = np.asarray(m0.apply(v, x, stop_at="enc1"))
+    e1 = np.asarray(m1.apply(v, x, stop_at="enc1"))
+    s = max(np.abs(e0).max(), 1.0)
+    np.testing.assert_allclose(e1 / s, e0 / s, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_demucs_fused_frontend_grads_finite():
+    """The fused model trains: grads exist for every param (incl. the
+    first conv / last ConvTranspose reached through the fused kernels)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    m = Demucs(fused_frontend=True)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        return jnp.mean(jnp.abs(m.apply(params, x) - x))
+
+    g = jax.grad(loss)(v, x)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(bool(jnp.isfinite(l).all()) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
