@@ -284,8 +284,16 @@ def test_banks_are_step_arguments_not_constants(tmp_path):
     _, terms1 = trainer._train_step(
         clone(trainer.state), clean, None, key, lr, trainer._banks
     )
+    # change bank CONTENT (row-reverse), not scale: the chain is
+    # deliberately scale-invariant in the banks (rms-normalized noise,
+    # end-of-chain peak norm), so a scalar multiple only perturbs float
+    # rounding — a loss-equality assertion on that is rounding luck
     other_banks = jax.tree_util.tree_map(
-        lambda x: x * 1.5 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        lambda x: (
+            x[::-1]
+            if jnp.issubdtype(x.dtype, jnp.floating) and x.ndim and x.shape[0] > 1
+            else x
+        ),
         trainer._banks,
     )
     _, terms2 = trainer._train_step(
