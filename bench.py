@@ -431,9 +431,12 @@ def bench_train_step(
         model = UNet(1, 1, rate=0.05, dtype=jnp.bfloat16 if bf16 else None)
         input_type = "spec"
     else:
-        # MFPA_DEMUCS_FUSED=0 opts out of the fused x4-resample frontend
-        # (upsample+conv1 / convT+downsample as single stride-1 convs)
-        fused = os.environ.get("MFPA_DEMUCS_FUSED", "1") != "0"
+        # MFPA_DEMUCS_FUSED=1 opts into the fused x4-resample frontend
+        # (upsample+conv1 / convT+downsample as single stride-1 convs).
+        # Off by default: on-chip it is ~2.5x SLOWER than the unfused path
+        # (69.8 vs 27.3 ms fwd f32 — scale_out/profile_demucs_tpu.txt); the
+        # stride-1 formulation defeats XLA's strided-conv tiling on the MXU.
+        fused = os.environ.get("MFPA_DEMUCS_FUSED", "0") == "1"
         model = Demucs(
             dtype=jnp.bfloat16 if bf16 else None, fused_frontend=fused
         )

@@ -22,9 +22,10 @@ Stages (resumable, bounded by --minutes; state in --workdir):
             same CSR rows.
   report  — merge into examples/scale_out/dejavu_results.json.
 
-Run:
+Run (round-4 config: lossless hash cap 1024 per the committed cap sweep,
+reference-shaped degradation banks):
   python examples/dejavu_scale.py ingest --tracks 106574 --minutes 8
-  python examples/dejavu_scale.py match
+  python examples/dejavu_scale.py match --banks dcase --denoise
   python examples/dejavu_scale.py oracle
   python examples/dejavu_scale.py report
 """
@@ -175,18 +176,67 @@ def stage_ingest(args):
     _save_state(args.workdir, state)
 
 
-def _condition_augmenter(name, params):
+_BANK_CACHE = {}
+
+
+def _banks(args):
+    """Degradation banks, built once per process (same policy as
+    scale_proof.py: ``--banks dcase`` draws from reference-corpus-SHAPED
+    pools — scene-structured noise hours + 271 IRs — instead of the toy
+    32-row pool; ref augmentation/constants.py:1-25)."""
     from musicfpaugment_tpu import augment
 
-    noise_bank, ir_bank = augment.synthetic_banks(
-        sample_rate=SR, noise_row_length=QUERY_SECONDS * SR,
-        num_noise=32, num_irs=16,
-    )
+    key = (args.banks, round(args.bank_hours, 3))
+    if key not in _BANK_CACHE:
+        if args.banks == "dcase":
+            _BANK_CACHE[key] = augment.dcase_shaped_banks(
+                sample_rate=SR, noise_row_length=QUERY_SECONDS * SR,
+                hours=args.bank_hours, num_scenes=15, num_irs=271, seed=7,
+            )
+        else:
+            _BANK_CACHE[key] = augment.synthetic_banks(
+                sample_rate=SR, noise_row_length=QUERY_SECONDS * SR,
+                num_noise=32, num_irs=16,
+            )
+    return _BANK_CACHE[key]
+
+
+def _condition_augmenter(name, params, args):
+    from musicfpaugment_tpu import augment
+
+    noise_bank, ir_bank = _banks(args)
     fp = augment.AugmentFP(
         noise_bank, SR, parameters=params, impulse_response_dir=ir_bank
     )
     fp.freeze_parameters(42)
     return fp
+
+
+def _load_denoiser(pkl_path):
+    """-> UNet spectrogram-denoiser hook for ``DejavuDeviceMatcher``.
+
+    The reference uses ONE UNet checkpoint for both AFP systems (loaded at
+    import in afp/audfprint/peak_extractor.py:24-37 and
+    afp/dejavu/fingerprint.py:27-31); here the same ``unet.pkl`` trained by
+    ``scale_proof.py train`` serves both — the dejavu frontend applies it to
+    the normalized PSD specgram and squares (fingerprint.py:70-75
+    semantics, wired inside fingerprint_spectrogram_batch)."""
+    import pickle
+
+    from musicfpaugment_tpu.models import UNet
+
+    with open(pkl_path, "rb") as f:
+        variables = pickle.load(f)
+    model = UNet(1, 1, rate=0.05)
+
+    def hook(sgram):
+        return model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            sgram, train=False,
+        )
+
+    return hook
 
 
 def _make_queries(corpus_key, qidx, offsets):
@@ -251,6 +301,19 @@ def stage_match(args):
     n_tracks = state["tracks_target"]
     _idx, dm = _load_matcher(args, state)
 
+    # the paper's comparison for the second AFP system too: every query
+    # also runs through the UNet-denoised matcher and the mix rule picks
+    # whichever variant aligned more hashes (ref: dejavu_exps.py:21-79 on
+    # nb_matches_with_offset)
+    dm_den = None
+    if args.denoise:
+        from musicfpaugment_tpu.afp.dejavu import DejavuDeviceMatcher
+
+        hook = _load_denoiser(args.unet_pkl)
+        # finalize() is cached on the index, so the second matcher reuses
+        # the host CSR and only re-uploads the device arrays (~1 s)
+        dm_den = DejavuDeviceMatcher(_idx, spec_denoiser=hook)
+
     rng = np.random.default_rng(42)
     qidx = rng.integers(0, n_tracks, args.queries).astype(np.int32)
     offsets = rng.integers(
@@ -265,15 +328,29 @@ def stage_match(args):
 
     warm = _make_queries(corpus_key, qidx[: args.batch], offsets[: args.batch])
     dm.match_waveforms(warm)
+    if dm_den is not None:
+        dm_den.match_waveforms(warm)
 
     results = state.get("conditions", {})
     for cond, params in conditions.items():
         if cond in results and not args.rerun:
             continue
-        fp = _condition_augmenter(cond, params) if params is not None else None
-        correct = n_done = 0
-        match_s = 0.0
+        fp = (
+            _condition_augmenter(cond, params, args)
+            if params is not None
+            else None
+        )
+        correct = correct_den = correct_mix = n_done = 0
+        match_s = match_den_s = 0.0
         t_cond = time.perf_counter()
+
+        def _hit(r, tid):
+            return bool(
+                r
+                and r["nb_matches_with_offset"] > MIN_HASHES
+                and r["song_name"].decode() == f"t{tid:06d}"
+            )
+
         for s in range(0, args.queries, args.batch):
             tids = qidx[s : s + args.batch]
             offs = offsets[s : s + args.batch]
@@ -286,23 +363,43 @@ def stage_match(args):
             t0 = time.perf_counter()
             res = dm.match_waveforms(crops)
             match_s += time.perf_counter() - t0
-            for r, tid in zip(res, tids):
+            if dm_den is not None:
+                t0 = time.perf_counter()
+                res_den = dm_den.match_waveforms(crops)
+                match_den_s += time.perf_counter() - t0
+            else:
+                res_den = res
+            for r, rd, tid in zip(res, res_den, tids):
                 n_done += 1
-                if (
-                    r
-                    and r["nb_matches_with_offset"] > MIN_HASHES
-                    and r["song_name"].decode() == f"t{tid:06d}"
-                ):
+                if _hit(r, tid):
                     correct += 1
+                if dm_den is not None:
+                    if _hit(rd, tid):
+                        correct_den += 1
+                    # mix rule: more offset-aligned matches wins (ref:
+                    # dejavu_exps.py:21-79); a None verdict loses to any
+                    # real one
+                    nm = r["nb_matches_with_offset"] if r else -1
+                    nmd = rd["nb_matches_with_offset"] if rd else -1
+                    if _hit(r if nm >= nmd else rd, tid):
+                        correct_mix += 1
         results[cond] = {
             "accuracy": round(correct / max(n_done, 1), 4),
             "n_queries": n_done,
             "match_qps": round(n_done / match_s, 1),
             "wall_s": round(time.perf_counter() - t_cond, 1),
         }
+        if dm_den is not None:
+            results[cond].update(
+                accuracy_den=round(correct_den / max(n_done, 1), 4),
+                accuracy_mix=round(correct_mix / max(n_done, 1), 4),
+                match_den_qps=round(n_done / match_den_s, 1),
+            )
         print(cond, results[cond], flush=True)
         state["conditions"] = results
         state["match_batch"] = args.batch
+        state["match_banks"] = args.banks
+        state["match_denoise"] = bool(dm_den is not None)
         _save_state(args.workdir, state)
 
 
@@ -438,7 +535,21 @@ def main():
     p.add_argument("--conditions", default="all")
     p.add_argument("--corpus-seed", type=int, default=1234)
     p.add_argument("--oracle-n", type=int, default=32)
-    p.add_argument("--hash-cap", type=int, default=64)
+    # Default raised 64 -> 1024 after the cap sweep
+    # (scale_out/dejavu_cap_sweep.json): caps that bind cost accuracy about
+    # in proportion to rows dropped, and at 106k tracks the max bucket depth
+    # is ~530 (50 at 10k, ~linear in corpus size) — 1024 is lossless there
+    # while 64 dropped 54% of all rows.
+    p.add_argument("--hash-cap", type=int, default=1024)
+    p.add_argument("--banks", choices=["toy", "dcase"], default="toy")
+    p.add_argument("--bank-hours", type=float, default=2.0)
+    p.add_argument("--denoise", action="store_true",
+                   help="also run the UNet-denoised matcher + mix rule "
+                        "(nb_matches_with_offset; ref dejavu_exps.py:21-79)")
+    p.add_argument("--unet-pkl", default="/tmp/scale_proof/unet.pkl",
+                   help="UNet params trained by scale_proof.py train — the "
+                        "reference shares one checkpoint across both AFP "
+                        "systems")
     p.add_argument("--rerun", action="store_true")
     args = p.parse_args()
     dict(

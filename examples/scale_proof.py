@@ -281,24 +281,31 @@ def stage_train(args):
     print("trained denoiser:", json.dumps(state["denoiser_train"]), flush=True)
 
 
-def _load_denoiser(workdir):
+def _load_denoiser(workdir, bf16=False):
     """-> spectrogram-denoiser hook for the fused match program, or raises.
     Layout contract: (B, F, C) magnitude spectrograms, the same frontend the
-    trainer used (train/trainer.py spectrogram_batch)."""
+    trainer used (train/trainer.py spectrogram_batch). ``bf16`` runs the
+    UNet inference in bfloat16 compute (params stay f32) — the denoised
+    match path is UNet-bound, so this trades ~3 decimal digits of
+    spectrogram precision for MXU rate; the match stage records its
+    accuracy columns separately so the cost is measured, not assumed."""
     import pickle
+
+    import jax.numpy as jnp
 
     from musicfpaugment_tpu.models import UNet
 
     with open(os.path.join(workdir, "unet.pkl"), "rb") as f:
         variables = pickle.load(f)
-    model = UNet(1, 1, rate=0.05)
+    model = UNet(1, 1, rate=0.05, dtype=jnp.bfloat16 if bf16 else None)
 
     def hook(sgram):
-        return model.apply(
+        out = model.apply(
             {"params": variables["params"],
              "batch_stats": variables["batch_stats"]},
             sgram, train=False,
         )
+        return out.astype(jnp.float32)
 
     return hook
 
@@ -357,7 +364,14 @@ def stage_match(args):
     # the paper's core comparison (VERDICT r3 #2): every query also runs
     # through the UNet-denoised analyzer, and the mix rule picks whichever
     # variant aligned more hashes (ref: testing/audfprint_exps.py:160-185)
-    denoiser = _load_denoiser(args.workdir) if args.denoise else None
+    denoiser = (
+        _load_denoiser(args.workdir, bf16=args.denoise_bf16)
+        if args.denoise
+        else None
+    )
+    # bf16 denoise reruns merge into the existing per-condition dicts under
+    # suffixed keys, so the f32 columns survive for side-by-side comparison
+    den_sfx = "_bf16" if (args.denoise and args.denoise_bf16) else ""
 
     # warm up the fused program(s) once (the first call pays trace+compile;
     # per-condition numbers should be the steady identification rate)
@@ -414,17 +428,21 @@ def stage_match(args):
                     if best[0] == "MATCH" and best[1] == gt:
                         correct_mix += 1
         results[cond] = {
+            **results.get(cond, {}),
             "accuracy": round(correct / max(n_done, 1), 4),
             "n_queries": n_done,
             "match_qps": round(n_done / match_s, 1),
             "wall_s": round(time.perf_counter() - t_cond, 1),
         }
         if denoiser is not None:
-            results[cond].update(
-                accuracy_den=round(correct_den / max(n_done, 1), 4),
-                accuracy_mix=round(correct_mix / max(n_done, 1), 4),
-                match_den_qps=round(n_done / match_den_s, 1),
-            )
+            results[cond].update({
+                "accuracy_den" + den_sfx:
+                    round(correct_den / max(n_done, 1), 4),
+                "accuracy_mix" + den_sfx:
+                    round(correct_mix / max(n_done, 1), 4),
+                "match_den" + den_sfx + "_qps":
+                    round(n_done / match_den_s, 1),
+            })
         print(cond, results[cond], flush=True)
         state["conditions"] = results
         state.update(
@@ -534,6 +552,10 @@ def main():
     p.add_argument("--denoise", action="store_true",
                    help="also run the UNet-denoised analyzer + mix rule "
                         "(train the model first: scale_proof.py train)")
+    p.add_argument("--denoise-bf16", action="store_true",
+                   help="run the UNet denoiser inference in bfloat16 "
+                        "compute; results merge under *_bf16 keys next to "
+                        "the f32 columns")
     p.add_argument("--train-epochs", type=int, default=20)
     p.add_argument("--train-steps", type=int, default=16)
     p.add_argument("--train-batch", type=int, default=32)
