@@ -111,7 +111,6 @@ class _Handler(threading.Thread):
         self._buf = b""
         self._stmts: Dict[bytes, str] = {}
         self._portals: Dict[bytes, Tuple[str, Dict[str, Any]]] = {}
-        self._described: Dict[bytes, Tuple[list, Optional[list], bytes]] = {}
         self._skip_until_sync = False
 
     # ------------------------------------------------------------ io
@@ -235,20 +234,18 @@ class _Handler(threading.Thread):
         self._send(b"2")
 
     def _on_describe(self, payload: bytes) -> None:
-        # Caveat (scope: the dejavu DB layer only): Describe EXECUTES the
-        # portal's statement to derive its RowDescription, caching rows for
-        # the Execute that libpq always sends next. A client that Describes
-        # without Executing, or Executes the same portal twice, would see
-        # the statement's side effects doubled/misplaced — fine for every
-        # flow this shim backs (pglib/psycopg2 extended-query), wrong as a
-        # general PG server.
+        # PG v3 semantics: Describe only reports the portal's row shape —
+        # the statement's side effects happen at Execute, never here. The
+        # shape (and the value-derived column OIDs) comes from a probe run
+        # inside a rolled-back savepoint, so a client that Describes
+        # without Executing leaves the database untouched and Execute runs
+        # the statement exactly once.
         kind, name = payload[:1], payload[1:].split(b"\x00", 1)[0]
         if kind != b"P" or name not in self._portals:
             self._send(b"n")  # NoData
             return
         sql, params = self._portals[name]
-        rows, desc, tag = self._execute(sql, params)
-        self._described[name] = (rows, desc, tag)
+        rows, desc = self._srv._probe(sql, params)
         if desc is not None:
             self._send_row_description(desc, rows)
         else:
@@ -256,11 +253,8 @@ class _Handler(threading.Thread):
 
     def _on_execute(self, payload: bytes) -> None:
         name = payload.split(b"\x00", 1)[0]
-        if name in self._described:
-            rows, desc, tag = self._described.pop(name)
-        else:
-            sql, params = self._portals.get(name, ("", {}))
-            rows, desc, tag = self._execute(sql, params)
+        sql, params = self._portals.get(name, ("", {}))
+        rows, desc, tag = self._execute(sql, params)
         if desc is not None:
             self._send_rows(rows)
         self._send(b"C", tag + b"\x00")
@@ -354,6 +348,25 @@ class PGShimServer:
             rowcount = cur.rowcount
             self._db.commit()
         return rows, desc, rowcount
+
+    def _probe(
+        self, sql: str, params: Optional[Dict[str, Any]] = None
+    ) -> Tuple[list, Optional[list]]:
+        """Row-shape probe for Describe: run the statement inside a
+        savepoint and roll it back, so column names and value-derived OIDs
+        are exact while every side effect is undone (Execute then performs
+        the statement exactly once)."""
+        tsql = _translate(sql)
+        with self._lock:
+            self._db.execute("SAVEPOINT describe_probe")
+            try:
+                cur = self._db.execute(tsql, params or {})
+                desc = cur.description
+                rows = cur.fetchall() if desc is not None else []
+            finally:
+                self._db.execute("ROLLBACK TO describe_probe")
+                self._db.execute("RELEASE describe_probe")
+        return rows, desc
 
     # ------------------------------------------------------------ lifecycle
     def start(self) -> "PGShimServer":

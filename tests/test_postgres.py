@@ -245,3 +245,71 @@ def test_shim_error_recovery():
         )
         assert cur.fetchone() == (7,)
         conn.close()
+
+
+def test_shim_describe_without_execute_has_no_side_effects():
+    """PG v3 semantics (VERDICT r4 #6): Describe reports the portal's row
+    shape WITHOUT running the statement — a client that Describes and then
+    Syncs (never Executes) must leave the database untouched, and a normal
+    Describe+Execute flow must apply the statement exactly once. libpq
+    always pairs the two, so this drives the wire by hand."""
+    import socket
+    import struct
+
+    from musicfpaugment_tpu.afp.dejavu.pg_shim import PGShimServer
+
+    def send(sock, t, payload=b""):
+        sock.sendall(t + struct.pack("!I", len(payload) + 4) + payload)
+
+    def read_until_ready(sock):
+        buf, msgs = b"", []
+        while True:
+            while len(buf) < 5:
+                buf += sock.recv(65536)
+            t, (n,) = buf[:1], struct.unpack("!I", buf[1:5])
+            while len(buf) < 1 + n:
+                buf += sock.recv(65536)
+            msgs.append((t, buf[5 : 1 + n]))
+            buf = buf[1 + n :]
+            if t == b"Z":
+                return msgs
+
+    with PGShimServer() as srv:
+        sock = socket.create_connection((srv.host, srv.port))
+        start = b"user\x00shim\x00database\x00fma\x00\x00"
+        sock.sendall(struct.pack("!II", len(start) + 8, 196608) + start)
+        read_until_ready(sock)
+
+        def simple(sql):
+            send(sock, b"Q", sql.encode() + b"\x00")
+            return read_until_ready(sock)
+
+        simple("CREATE TABLE songs (song_id SERIAL PRIMARY KEY, name TEXT)")
+
+        def extended(sql, execute):
+            """Parse/Bind/Describe[/Execute]/Sync on the unnamed portal."""
+            send(sock, b"P", b"\x00" + sql.encode() + b"\x00" + b"\x00\x00")
+            send(sock, b"B", b"\x00\x00" + struct.pack("!HHH", 0, 0, 0))
+            send(sock, b"D", b"P\x00")
+            if execute:
+                send(sock, b"E", b"\x00" + struct.pack("!i", 0))
+            send(sock, b"S")
+            return read_until_ready(sock)
+
+        ins = "INSERT INTO songs (name) VALUES ('x') RETURNING song_id"
+        msgs = extended(ins, execute=False)
+        kinds = [t for t, _ in msgs]
+        assert b"T" in kinds  # Describe still reports the RETURNING shape
+        assert b"D" not in kinds and b"C" not in kinds  # ...but no rows ran
+
+        count = lambda: [  # noqa: E731
+            m for m in simple("SELECT count(*) FROM songs") if m[0] == b"D"
+        ][0][1][-1:]
+        assert count() == b"0"  # Describe-only left nothing behind
+
+        msgs = extended(ins, execute=True)
+        kinds = [t for t, _ in msgs]
+        assert kinds.count(b"D") == 1 and b"C" in kinds
+        assert count() == b"1"  # Describe+Execute inserted exactly once
+        send(sock, b"X")
+        sock.close()
