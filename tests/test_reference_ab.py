@@ -87,17 +87,31 @@ def _import_reference():
             return {"model_state_dict": RefDemucs().state_dict()}
         return real_load(path, map_location=map_location, **kw)
 
+    # psycopg2 is not installed; dejavu.dejavu imports it transitively via
+    # postgres_database, but the orchestration logic under test
+    # (align_matches) never touches a connection — a name-only stub keeps
+    # the import alive.
+    if "psycopg2" not in sys.modules:
+        pg = types.ModuleType("psycopg2")
+        pge = types.ModuleType("psycopg2.extras")
+        pge.DictCursor = object
+        pg.extras = pge
+        sys.modules["psycopg2"] = pg
+        sys.modules["psycopg2.extras"] = pge
+
     torch.load = fake_load
     try:
         import afp.audfprint.audfprint_match as ref_match
         import afp.audfprint.hash_table as ref_ht
         import afp.audfprint.peak_extractor as ref_pe
         import afp.audfprint.stft as ref_stft
+        import dejavu.dejavu as ref_djv
         import dejavu.fingerprint as ref_dj
     finally:
         torch.load = real_load
     _ref_cache.update(
-        stft=ref_stft, pe=ref_pe, ht=ref_ht, match=ref_match, dejavu=ref_dj
+        stft=ref_stft, pe=ref_pe, ht=ref_ht, match=ref_match, dejavu=ref_dj,
+        djv=ref_djv,
     )
     return _ref_cache
 
@@ -337,3 +351,118 @@ def test_dejavu_hashes_from_same_peaks_match_exactly(ref):
     h_ours = generate_hashes(peaks, fan_value=3)
     assert sorted(h_ref) == sorted(h_ours)
     assert len(h_ref) > 50
+
+
+@pytest.mark.slow
+def test_dejavu_low_snr_identification_rates_match_reference(ref):
+    """Dejavu identification-rate A/B at low SNR (VERDICT r4 #2): the 106k
+    scale run shows dejavu collapsing under -10 dB background noise
+    (accuracy 0.001); this pins that behavior on dejavu itself, not on a
+    rebuild divergence. The same corpus is indexed by the reference's own
+    fingerprint() and matched through the reference's own
+    Dejavu.align_matches (dejavu.py:312-378, return_matches dict semantics
+    from postgres_database.py:181-229 replicated over a plain dict), and by
+    this repo's DejavuDeviceIndex + DejavuDeviceMatcher — per-condition
+    identification rates must agree within a small tolerance on identical
+    clean / -5 dB / -10 dB queries."""
+    from musicfpaugment_tpu.afp.dejavu import (
+        DejavuDeviceIndex,
+        DejavuDeviceMatcher,
+    )
+    from musicfpaugment_tpu.afp.dejavu.variables import MIN_HASHES
+
+    sr, track_s, query_s = 8000, 10.0, 8.0
+    n_tracks, n_queries = 200, 64
+    tracks = [_music_like(1000 + i, seconds=track_s) for i in range(n_tracks)]
+    names = [f"trk{i:03d}" for i in range(n_tracks)]
+
+    # ---- reference side: fingerprint() into a dict store with the DB's
+    # UNIQUE (song_id, offset, hash) dedup (postgres_database.py:273,293)
+    db_rows, songs = {}, {}
+    for sid, (name, wav) in enumerate(zip(names, tracks), start=1):
+        hashes = ref["dejavu"].fingerprint(list(wav))
+        triples = {(h.upper(), int(off)) for h, off in hashes}
+        for h, off in sorted(triples):
+            db_rows.setdefault(h, []).append((sid, off))
+        songs[sid] = {
+            "song_name": name,
+            "total_hashes": len(triples),
+            "file_sha1": "00" * 20,
+        }
+
+    class _StubDB:
+        def get_song_by_id(self, sid):
+            return songs[sid]
+
+    stub = types.SimpleNamespace(
+        db=_StubDB(), settings={"samplerate": sr, "n_hop": 256}
+    )
+
+    def ref_identify(query):
+        hashes = ref["dejavu"].fingerprint(list(query))
+        mapper = {}
+        for h, off in hashes:
+            mapper.setdefault(h.upper(), []).append(int(off))
+        matches, dedup = [], {}
+        for h, q_offs in mapper.items():
+            for sid, db_off in db_rows.get(h, ()):
+                dedup[sid] = dedup.get(sid, 0) + 1
+                for q_off in q_offs:
+                    matches.append((sid, db_off - q_off))
+        if not matches:
+            return None
+        out = ref["djv"].Dejavu.align_matches(
+            stub, matches, dedup, len(hashes)
+        )
+        return out[0] if out else None
+
+    # ---- identical queries for both sides: member crops + white noise at
+    # exact SNRs (the scale run's bn_m5/bn_m10 analog, pure numpy f32)
+    rng = np.random.default_rng(7)
+    qn = int(query_s * sr)
+    qidx = rng.integers(0, n_tracks, n_queries)
+    crops = []
+    for i in qidx:
+        s = int(rng.integers(0, int((track_s - query_s) * sr)))
+        crops.append(tracks[i][s : s + qn])
+    crops = np.stack(crops)
+    conditions = {"clean": crops}
+    for snr_db in (-5.0, -10.0):
+        noise = rng.standard_normal(crops.shape).astype(np.float32)
+        p_sig = np.mean(crops**2, axis=1, keepdims=True)
+        p_noise = np.mean(noise**2, axis=1, keepdims=True)
+        scale = np.sqrt(p_sig / (p_noise * 10 ** (snr_db / 10)))
+        conditions[f"bn_{int(snr_db)}"] = (
+            crops + scale.astype(np.float32) * noise
+        )
+
+    # ---- our side: device index + fused matcher over the same arrays
+    idx = DejavuDeviceIndex()
+    idx.ingest_arrays(names, np.stack(tracks))
+    dm = DejavuDeviceMatcher(idx)
+
+    rates = {}
+    for cond, queries in conditions.items():
+        ours = dm.match_waveforms(queries)
+        hit_ref = hit_ours = 0
+        for q, o, tid in zip(queries, ours, qidx):
+            r = ref_identify(q)
+            if (
+                r is not None
+                and r["nb_matches_with_offset"] > MIN_HASHES
+                and r["song_name"].decode() == names[tid]
+            ):
+                hit_ref += 1
+            if (
+                o
+                and o["nb_matches_with_offset"] > MIN_HASHES
+                and o["song_name"].decode() == names[tid]
+            ):
+                hit_ours += 1
+        rates[cond] = (hit_ref / n_queries, hit_ours / n_queries)
+
+    print("identification rates (reference, ours):", rates)
+    for cond, (r_ref, r_ours) in rates.items():
+        assert abs(r_ref - r_ours) <= 0.08, (cond, rates)
+    # the collapse itself is the reference's own behavior: monotone in SNR
+    assert rates["clean"][0] >= rates["bn_-5"][0] >= rates["bn_-10"][0]
