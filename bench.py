@@ -173,28 +173,46 @@ def bench_end_to_end_match(
     import jax.numpy as jnp
 
     dm = DeviceMatcher(ht)
-    # pre-staged device batches (as in bench_augment): measures the chip's
-    # identification throughput, not this dev image's tunnel upload bandwidth
-    qs = [
+    # Two query regimes, timed separately (VERDICT r4 #7): crop queries of
+    # indexed tracks (all-MATCH — candidate-cell scoring is where the match
+    # path's work is) and pure-noise queries (all-NOMATCH). Both sections of
+    # this bench now report both columns, so the audfprint and dejavu
+    # headline q/s exercise the same cost profile.
+    # Pre-staged device batches (as in bench_augment): measures the chip's
+    # identification throughput, not this dev image's tunnel upload
+    # bandwidth.
+    crop_qs = [
+        jnp.asarray(
+            tracks[:, o : o + seconds * sr]
+            + 0.01
+            * rng.standard_normal((batch_size, seconds * sr)).astype(
+                np.float32
+            )
+        )
+        for o in (0, sr, 2 * sr, 3 * sr)
+    ]
+    noise_qs = [
         jnp.asarray(
             rng.standard_normal((batch_size, seconds * sr)).astype(np.float32)
         )
         for _ in range(4)
     ]
-    _ = [float(q[0, 0]) for q in qs]
+    _ = [float(q[0, 0]) for q in crop_qs + noise_qs]
     t0 = time.perf_counter()
-    _ = dm.match_waveforms(qs[0], shifts=1)
+    _ = dm.match_waveforms(crop_qs[0], shifts=1)
     log(f"fused match compile+first batch: {time.perf_counter() - t0:.1f}s")
     iters = 16
-    t0 = time.perf_counter()
-    for i in range(iters):
-        verdicts = dm.match_waveforms(qs[i % len(qs)], shifts=1)
-    dt = time.perf_counter() - t0
-    qps = batch_size * iters / dt
-    n_match = sum(v[0] == "MATCH" for v in verdicts)
-    log(f"end-to-end waveform->verdict (fused, one XLA program): {qps:.0f} "
-        f"queries/s (batch {batch_size}, {n_match}/{batch_size} MATCH on "
-        f"noise queries)")
+    qps = {}
+    for regime, qs in (("match", crop_qs), ("nomatch", noise_qs)):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            verdicts = dm.match_waveforms(qs[i % len(qs)], shifts=1)
+        dt = time.perf_counter() - t0
+        qps[regime] = batch_size * iters / dt
+        n_match = sum(v[0] == "MATCH" for v in verdicts)
+        log(f"end-to-end waveform->verdict (fused, one XLA program, "
+            f"{regime}-regime): {qps[regime]:.0f} queries/s (batch "
+            f"{batch_size}, {n_match}/{batch_size} MATCH)")
     return qps
 
 
@@ -236,8 +254,9 @@ def bench_dejavu_match(
         f"{idx.rows_dropped} hot-key rows dropped)"
     )
     dm = DejavuDeviceMatcher(idx)
-    # queries: crops of indexed tracks — a realistic (all-MATCH) hit load
-    qs = [
+    # same two regimes as the audfprint section (VERDICT r4 #7): crop
+    # queries of indexed tracks (all-MATCH) and pure-noise (NOMATCH)
+    crop_qs = [
         jnp.asarray(
             last_tracks[:, o : o + seconds * sr]
             + 0.01
@@ -247,21 +266,30 @@ def bench_dejavu_match(
         )
         for o in (0, sr, 2 * sr, 3 * sr)
     ]
-    _ = [float(q[0, 0]) for q in qs]
+    noise_qs = [
+        jnp.asarray(
+            rng.standard_normal((batch_size, seconds * sr)).astype(np.float32)
+        )
+        for _ in range(4)
+    ]
+    _ = [float(q[0, 0]) for q in crop_qs + noise_qs]
     t0 = time.perf_counter()
-    _ = dm.match_waveforms(qs[0])
+    _ = dm.match_waveforms(crop_qs[0])
     log(f"dejavu fused match compile+first batch: {time.perf_counter() - t0:.1f}s")
     iters = 16
-    t0 = time.perf_counter()
-    for i in range(iters):
-        verdicts = dm.match_waveforms(qs[i % len(qs)])
-    dt = time.perf_counter() - t0
-    qps = batch_size * iters / dt
-    n_match = sum(bool(v) for v in verdicts)
-    log(
-        f"dejavu waveform->verdict (fused): {qps:.0f} queries/s "
-        f"(batch {batch_size}, {n_match}/{batch_size} crop queries matched)"
-    )
+    qps = {}
+    for regime, qs in (("match", crop_qs), ("nomatch", noise_qs)):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            verdicts = dm.match_waveforms(qs[i % len(qs)])
+        dt = time.perf_counter() - t0
+        qps[regime] = batch_size * iters / dt
+        n_match = sum(bool(v) for v in verdicts)
+        log(
+            f"dejavu waveform->verdict (fused, {regime}-regime): "
+            f"{qps[regime]:.0f} queries/s (batch {batch_size}, "
+            f"{n_match}/{batch_size} matched)"
+        )
     return qps
 
 
@@ -402,6 +430,163 @@ def bench_index(
         f"steady {rate:.0f} tracks/s (first batch incl. compile "
         f"{batch_secs[0]:.1f}s)")
     return rate
+
+
+def bench_scale_mini(
+    n_tracks: int = 8192, batch_size: int = 128, n_queries: int = 512,
+    shifts: int = 4, track_seconds: int = 30, query_seconds: int = 8,
+    sr: int = 8000,
+):
+    """Driver-verifiable scale-regime section (VERDICT r4 #5): the
+    scale_proof.py pipeline at a size that fits the bench budget — ingest a
+    mid-scale device-generated corpus, run one paper condition (bn_p10)
+    through the fused DeviceMatcher at the reference's shifts=4, and
+    spot-check verdicts against the numpy Matcher oracle. The committed
+    106k-track artifacts (examples/scale_out/results.json) ran exactly this
+    path; this section puts a scale-regime tracks/s and q/s in the
+    driver-captured BENCH file."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu import augment
+    from musicfpaugment_tpu.afp.audfprint import (
+        AudfprintPeaks,
+        DeviceMatcher,
+        HashTable,
+        Matcher,
+    )
+    from musicfpaugment_tpu.afp.audfprint import landmarks as lm
+    from musicfpaugment_tpu.afp.audfprint.peaks import find_peaks_batch
+    from musicfpaugment_tpu.data.synthetic import synth_tracks_device
+    from musicfpaugment_tpu.testing.parameters import (
+        afp_settings,
+        test_pipelines_parameters,
+    )
+
+    HCAP = 4096
+
+    @jax.jit
+    def ingest_prog(corpus_key, indices):
+        wavs = synth_tracks_device(corpus_key, indices, track_seconds * sr, sr)
+        masks = find_peaks_batch(wavs)
+        C = int(masks.shape[-1])
+        max_peaks = -(-5 * C // 128) * 128
+        th, v = lm.hashes_from_masks_batched(
+            masks, max_peaks=max_peaks, max_hashes=max_peaks * lm.MAXPAIRSPERPEAK
+        )
+        t, h, v = lm.sort_dedup_hashes(th[..., 0], th[..., 1], v)
+        t, h, n = lm.compact_valid_first(t, h, v, out_len=HCAP)
+        return jnp.stack([t, h], axis=-1), jnp.minimum(n, HCAP)
+
+    ht = HashTable()
+    corpus_key = jax.random.PRNGKey(1234)
+    batch_secs = []
+    pending = None
+
+    def drain(p):
+        p_start, out = p
+        th, counts = jax.device_get(out)
+        for j in range(batch_size):
+            ht.store(f"t{p_start + j:06d}", th[j, : counts[j]])
+
+    t_all = time.perf_counter()
+    t0 = time.perf_counter()
+    for start in range(0, n_tracks, batch_size):
+        idx = np.arange(start, start + batch_size, dtype=np.int32)
+        out = ingest_prog(corpus_key, idx)
+        if pending is not None:
+            drain(pending)
+        pending = (start, out)
+        batch_secs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+    drain(pending)
+    tracks_per_sec = batch_size / float(np.median(batch_secs[2:]))
+    log(f"scale_mini ingest: {n_tracks} tracks in "
+        f"{time.perf_counter() - t_all:.1f}s ({ht.totalhashes()} hashes), "
+        f"steady {tracks_per_sec:.0f} tracks/s")
+
+    dm = DeviceMatcher(ht)
+    log(f"scale_mini matcher: eff_depth={dm.eff_depth} "
+        f"table={dm._table.size * 4 / 1e6:.0f}MB")
+
+    # member crops through the paper's bn_p10 condition (scale_proof.py
+    # match stage semantics: frozen per-query params, shifts=4)
+    noise_bank, ir_bank = augment.synthetic_banks(
+        sample_rate=sr, noise_row_length=query_seconds * sr,
+        num_noise=32, num_irs=16,
+    )
+    fp = augment.AugmentFP(
+        noise_bank, sr,
+        parameters=test_pipelines_parameters["bn_p10"],
+        impulse_response_dir=ir_bank,
+    )
+    fp.freeze_parameters(42)
+
+    rng = np.random.default_rng(42)
+    qidx = rng.integers(0, n_tracks, n_queries).astype(np.int32)
+    offsets = rng.integers(
+        0, (track_seconds - query_seconds) * sr, n_queries
+    ).astype(np.int32)
+
+    @jax.jit
+    def query_prog(key, tids, offs):
+        rows = synth_tracks_device(key, tids, track_seconds * sr, sr)
+
+        def crop(row, off):
+            return jax.lax.dynamic_slice_in_dim(row, off, query_seconds * sr)
+
+        return jax.vmap(crop)(rows, offs)
+
+    warm = query_prog(corpus_key, jnp.asarray(qidx[:batch_size]),
+                      jnp.asarray(offsets[:batch_size]))
+    t0 = time.perf_counter()
+    dm.match_waveforms(warm, shifts=shifts)
+    log(f"scale_mini match compile+first batch: "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    correct = n_done = 0
+    match_s = 0.0
+    for s in range(0, n_queries, batch_size):
+        tids, offs = qidx[s : s + batch_size], offsets[s : s + batch_size]
+        crops = query_prog(corpus_key, jnp.asarray(tids), jnp.asarray(offs))
+        crops = fp.batch_augment_indexed(
+            crops[:, None, :], np.arange(s, s + len(tids))
+        )[:, 0, :]
+        _ = float(crops[0, 0])  # scalar readback: the reliable axon sync
+        t0 = time.perf_counter()
+        verdicts = dm.match_waveforms(crops, shifts=shifts)
+        match_s += time.perf_counter() - t0
+        for v, tid in zip(verdicts, tids):
+            n_done += 1
+            correct += v[0] == "MATCH" and v[1] == f"t{tid:06d}"
+    qps = n_done / match_s
+    acc = correct / max(n_done, 1)
+    log(f"scale_mini match (bn_p10, shifts={shifts}): {qps:.0f} queries/s, "
+        f"accuracy {acc:.4f} over {n_done} member crops at {n_tracks} tracks")
+
+    # oracle spot-check: device verdicts vs the numpy Matcher at full depth
+    analyzer = AudfprintPeaks(afp_settings["audfprint"])
+    n_oracle = 8
+    aug8 = np.asarray(jax.device_get(crops))[:n_oracle]
+    hashes = analyzer.hashes_batch(aug8, shifts=shifts)
+    dev = dm.match_hashes_batch(hashes)
+    oracle = Matcher()
+    agree = sum(
+        int(
+            (ov := oracle.hashes_match_to_msgs(ht, hashes[i]))[0] == dev[i][0]
+            and (ov[0] != "MATCH" or ov[1] == dev[i][1])
+        )
+        for i in range(n_oracle)
+    )
+    log(f"scale_mini oracle agreement: {agree}/{n_oracle}")
+    return {
+        "tracks_per_sec": tracks_per_sec,
+        "queries_per_sec": qps,
+        "accuracy_bn_p10": acc,
+        "n_tracks": n_tracks,
+        "shifts": shifts,
+        "oracle_agreement": f"{agree}/{n_oracle}",
+    }
 
 
 def bench_train_step(
@@ -549,11 +734,17 @@ def run_section(name: str) -> None:
         scan_qps, pallas_qps = bench_peaks()
         out = {"scan_qps": scan_qps, "pallas_qps": pallas_qps}
     elif name == "match":
-        out = {"queries_per_sec": bench_end_to_end_match()}
+        qps = bench_end_to_end_match()
+        out = {"queries_per_sec": qps["match"],
+               "nomatch_queries_per_sec": qps["nomatch"]}
     elif name == "index":
         out = {"tracks_per_sec": bench_index()}
     elif name == "dejavu":
-        out = {"queries_per_sec": bench_dejavu_match()}
+        qps = bench_dejavu_match()
+        out = {"queries_per_sec": qps["match"],
+               "nomatch_queries_per_sec": qps["nomatch"]}
+    elif name == "scale_mini":
+        out = bench_scale_mini()
     else:
         raise SystemExit(f"unknown section {name!r}")
     print("SECTION_RESULT " + json.dumps(out), flush=True)
@@ -626,6 +817,7 @@ def main() -> None:
         ("match", 900.0),
         ("dejavu", 900.0),
         ("index", 600.0),
+        ("scale_mini", 900.0),
         ("peaks", 600.0),
     )
     for name, timeout in secondary:

@@ -509,6 +509,7 @@ def stage_report(args):
     state.pop("ingest_batch_seconds", None)
     with open(out, "w") as f:
         json.dump(state, f, indent=2)
+        f.write("\n")
     print(json.dumps(state, indent=2))
     print("wrote", out)
 

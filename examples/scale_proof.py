@@ -28,7 +28,7 @@ comparison — VERDICT r3 #2/#3/#6):
   python examples/scale_proof.py ingest --tracks 106574 --minutes 8
   ... repeat until "ingest complete" ...
   python examples/scale_proof.py train --banks dcase
-  python examples/scale_proof.py match --queries 4096 --shifts 4 \
+  python examples/scale_proof.py match --queries 10000 --shifts 4 \
       --banks dcase --denoise
   python examples/scale_proof.py oracle --shifts 4
   python examples/scale_proof.py report
@@ -514,6 +514,7 @@ def stage_report(args):
     state.pop("ingest_batch_seconds", None)
     with open(out, "w") as f:
         json.dump(state, f, indent=2)
+        f.write("\n")
     print(json.dumps(state, indent=2))
     print("wrote", out)
 
