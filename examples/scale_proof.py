@@ -30,8 +30,14 @@ comparison — VERDICT r3 #2/#3/#6):
   python examples/scale_proof.py train --banks dcase
   python examples/scale_proof.py match --queries 10000 --shifts 4 \
       --banks dcase --denoise
+  python examples/scale_proof.py peaks --queries 10000 --banks dcase --denoise
   python examples/scale_proof.py oracle --shifts 4
   python examples/scale_proof.py report
+Demucs variant (the reference's second denoising pipeline):
+  python examples/scale_proof.py train --model demucs --banks dcase \
+      --train-batch 16
+  python examples/scale_proof.py match --queries 10000 --shifts 4 \
+      --banks dcase --denoise --denoise-model demucs
 """
 
 from __future__ import annotations
@@ -225,12 +231,15 @@ def _condition_augmenter(name, params, args):
 
 
 def stage_train(args):
-    """Train the UNet spectrogram denoiser used by ``match --denoise``
-    (VERDICT r3 #2: the paper's no-denoise/denoise/mix comparison has to run
-    at reference scale, which needs a trained model — ref training/train.py
-    and testing/audfprint_exps.py:160-185). Synthetic clean batches, the
-    same banks as the match conditions, on-device augmentation inside the
-    jitted step; params land in ``workdir/unet.pkl``."""
+    """Train the denoiser used by ``match --denoise`` (VERDICT r3 #2: the
+    paper's no-denoise/denoise/mix comparison has to run at reference scale,
+    which needs a trained model — ref training/train.py and
+    testing/audfprint_exps.py:160-185). ``--model unet`` trains the
+    spectrogram denoiser (workdir/unet.pkl); ``--model demucs`` the waveform
+    denoiser the reference's second pipeline uses
+    (ref: afp/audfprint/peak_extractor.py:369-377, workdir/demucs.pkl).
+    Synthetic clean batches, the same banks as the match conditions,
+    on-device augmentation inside the jitted step."""
     import pickle
     import tempfile
 
@@ -238,13 +247,16 @@ def stage_train(args):
 
     from musicfpaugment_tpu import augment
     from musicfpaugment_tpu.data.synthetic import synthetic_clean_batches
-    from musicfpaugment_tpu.models import UNet
+    from musicfpaugment_tpu.models import Demucs, UNet
     from musicfpaugment_tpu.train.trainer import Trainer
 
     os.makedirs(args.workdir, exist_ok=True)
     noise_bank, ir_bank = _banks(args)
     augmenter = augment.AugmentFP(noise_bank, SR, impulse_response_dir=ir_bank)
-    model = UNet(1, 1, rate=0.05)
+    if args.model == "unet":
+        model, input_type = UNet(1, 1, rate=0.05), "spec"
+    else:
+        model, input_type = Demucs(), "audio"  # reference defaults (h48 d5)
     t0 = time.time()
     with tempfile.TemporaryDirectory() as ckpt:
         trainer = Trainer(
@@ -256,20 +268,25 @@ def stage_train(args):
             learning_rate=1e-3,
             nb_epochs=args.train_epochs + 1,
             checkpoint=ckpt,
-            input_type="spec",
+            input_type=input_type,
             augmenter=augmenter,
             example_batch=next(synthetic_clean_batches(args.train_batch, 3 * SR, SR)),
         )
         trainer.start_epoch()
         trainer.training_loop()
         params = jax.device_get(trainer.state.params)
-        batch_stats = jax.device_get(dict(trainer.state.batch_stats))
+        variables = {"params": params}
+        if args.model == "unet":  # Demucs has no BN running stats
+            variables["batch_stats"] = jax.device_get(
+                dict(trainer.state.batch_stats)
+            )
         losses = [float(h["val"]["loss"]) for h in trainer.history]
-    with open(os.path.join(args.workdir, "unet.pkl"), "wb") as f:
-        pickle.dump({"params": params, "batch_stats": batch_stats}, f)
+    with open(os.path.join(args.workdir, f"{args.model}.pkl"), "wb") as f:
+        pickle.dump(variables, f)
     state = _load_state(args.workdir)
-    state["denoiser_train"] = {
-        "model": "unet",
+    key = "denoiser_train" if args.model == "unet" else "denoiser_train_demucs"
+    state[key] = {
+        "model": args.model,
         "epochs": args.train_epochs,
         "steps_per_epoch": args.train_steps,
         "batch": args.train_batch,
@@ -278,7 +295,7 @@ def stage_train(args):
         "train_seconds": round(time.time() - t0, 1),
     }
     _save_state(args.workdir, state)
-    print("trained denoiser:", json.dumps(state["denoiser_train"]), flush=True)
+    print("trained denoiser:", json.dumps(state[key]), flush=True)
 
 
 def _load_denoiser(workdir, bf16=False):
@@ -306,6 +323,34 @@ def _load_denoiser(workdir, bf16=False):
             sgram, train=False,
         )
         return out.astype(jnp.float32)
+
+    return hook
+
+
+def _load_wave_denoiser(workdir, bf16=False):
+    """-> jitted waveform-denoiser ``(B, T) -> (B, T)`` from
+    ``workdir/demucs.pkl`` (train it first: ``train --model demucs``). This
+    is the reference's Demucs eval pipeline: queries are denoised as
+    *waveforms* before peak extraction
+    (ref: afp/audfprint/peak_extractor.py:369-377,
+    afp/dejavu/dejavu.py:66-117), so unlike the UNet hook it runs as its own
+    device program ahead of the fused matcher."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu.models import Demucs
+
+    with open(os.path.join(workdir, "demucs.pkl"), "rb") as f:
+        variables = pickle.load(f)
+    model = Demucs(dtype=jnp.bfloat16 if bf16 else None)
+
+    @jax.jit
+    def hook(wavs):
+        return model.apply(
+            {"params": variables["params"]}, wavs
+        ).astype(jnp.float32)
 
     return hook
 
@@ -362,16 +407,26 @@ def stage_match(args):
         conditions = {k: v for k, v in conditions.items() if k in keep}
 
     # the paper's core comparison (VERDICT r3 #2): every query also runs
-    # through the UNet-denoised analyzer, and the mix rule picks whichever
-    # variant aligned more hashes (ref: testing/audfprint_exps.py:160-185)
-    denoiser = (
-        _load_denoiser(args.workdir, bf16=args.denoise_bf16)
-        if args.denoise
-        else None
-    )
-    # bf16 denoise reruns merge into the existing per-condition dicts under
-    # suffixed keys, so the f32 columns survive for side-by-side comparison
-    den_sfx = "_bf16" if (args.denoise and args.denoise_bf16) else ""
+    # through the denoised analyzer, and the mix rule picks whichever
+    # variant aligned more hashes (ref: testing/audfprint_exps.py:160-185).
+    # --denoise-model unet fuses the spectrogram hook into the match
+    # program; --denoise-model demucs denoises query *waveforms* first, the
+    # reference's second eval pipeline (peak_extractor.py:369-377).
+    denoiser = wave_den = None
+    if args.denoise:
+        if args.denoise_model == "demucs":
+            wave_den = _load_wave_denoiser(args.workdir, bf16=args.denoise_bf16)
+        else:
+            denoiser = _load_denoiser(args.workdir, bf16=args.denoise_bf16)
+    den_active = args.denoise
+    # demucs/bf16 denoise reruns merge into the existing per-condition dicts
+    # under suffixed keys, so earlier columns survive for side-by-side
+    # comparison
+    den_sfx = ""
+    if den_active:
+        den_sfx = ("_demucs" if args.denoise_model == "demucs" else "") + (
+            "_bf16" if args.denoise_bf16 else ""
+        )
 
     # warm up the fused program(s) once (the first call pays trace+compile;
     # per-condition numbers should be the steady identification rate)
@@ -380,10 +435,13 @@ def stage_match(args):
     dm.match_waveforms(warm, shifts=args.shifts)
     if denoiser is not None:
         dm.match_waveforms(warm, shifts=args.shifts, denoiser=denoiser)
+    if wave_den is not None:
+        dm.match_waveforms(wave_den(warm), shifts=args.shifts)
 
     results = state.get("conditions", {})
     for cond, params in conditions.items():
-        if cond in results and not args.rerun:
+        done_key = ("accuracy_den" + den_sfx) if den_active else "accuracy"
+        if cond in results and done_key in results[cond] and not args.rerun:
             continue
         fp = (
             _condition_augmenter(cond, params, args)
@@ -412,6 +470,14 @@ def stage_match(args):
                     crops, shifts=args.shifts, denoiser=denoiser
                 )
                 match_den_s += time.perf_counter() - t0
+            elif wave_den is not None:
+                # the Demucs pass is part of the denoised pipeline's cost,
+                # so the timer wraps denoise + match together
+                t0 = time.perf_counter()
+                verd_den = dm.match_waveforms(
+                    wave_den(crops), shifts=args.shifts
+                )
+                match_den_s += time.perf_counter() - t0
             else:
                 verd_den = verdicts
             for v, vd, tid in zip(verdicts, verd_den, tids):
@@ -419,7 +485,7 @@ def stage_match(args):
                 gt = f"t{tid:06d}"
                 if v[0] == "MATCH" and v[1] == gt:
                     correct += 1
-                if denoiser is not None:
+                if den_active:
                     if vd[0] == "MATCH" and vd[1] == gt:
                         correct_den += 1
                     # mix rule: more aligned hashes wins (ref:
@@ -434,7 +500,7 @@ def stage_match(args):
             "match_qps": round(n_done / match_s, 1),
             "wall_s": round(time.perf_counter() - t_cond, 1),
         }
-        if denoiser is not None:
+        if den_active:
             results[cond].update({
                 "accuracy_den" + den_sfx:
                     round(correct_den / max(n_done, 1), 4),
@@ -452,8 +518,116 @@ def stage_match(args):
             match_batch=args.batch,
             match_shifts=args.shifts,
             match_banks=args.banks,
-            match_denoise=bool(denoiser is not None),
+            match_denoise=bool(den_active),
         )
+        if den_active:
+            state["match_denoise_model"] = args.denoise_model
+        _save_state(args.workdir, state)
+
+
+def stage_peaks(args):
+    """Peak P/R/F1 + spectrogram PSNR at the reference's full query count
+    (VERDICT r4 #8: the paper's table runs its metrics over the whole query
+    set, ref testing/audfprint_exps.py:86-157). For every condition the
+    same 10k crops the match stage identifies are scored against their
+    clean versions: peak masks from ``find_peaks_batch``, spectrograms from
+    ``spectrogram_frontend``, both with and (``--denoise``) without the
+    UNet hook — whole batches in one XLA program, sums accumulated on
+    device so only scalars ride the tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu.afp.audfprint.peaks import (
+        find_peaks_batch,
+        spectrogram_frontend,
+    )
+    from musicfpaugment_tpu.testing.metrics import batch_peak_metrics, batch_psnr
+    from musicfpaugment_tpu.testing.parameters import test_pipelines_parameters
+
+    state = _load_state(args.workdir)
+    assert state.get("ingest_done"), "run ingest to completion first"
+    n_tracks = state["tracks_target"]
+    denoiser = _load_denoiser(args.workdir, bf16=args.denoise_bf16) \
+        if args.denoise else None
+
+    rng = np.random.default_rng(42)  # same crops the match stage identified
+    qidx = rng.integers(0, n_tracks, args.queries).astype(np.int32)
+    offsets = rng.integers(
+        0, TRACK_SECONDS * SR - QUERY_SECONDS * SR, args.queries
+    ).astype(np.int32)
+    corpus_key = jax.random.PRNGKey(args.corpus_seed)
+
+    conditions = dict(test_pipelines_parameters)
+    if args.conditions != "all":
+        keep = set(args.conditions.split(","))
+        conditions = {k: v for k, v in conditions.items() if k in keep}
+
+    jit_cache = {}
+
+    def masks_sgrams_sums(wavs, hook):
+        """(B, T) -> per-batch (masks, sgram) — one program per hook."""
+        key = id(hook)
+        if key not in jit_cache:
+            def fn(wv):
+                masks = find_peaks_batch(wv, denoiser=hook)
+                sgram = spectrogram_frontend(wv, 512, 256, hook)
+                return masks, sgram
+
+            jit_cache[key] = jax.jit(fn)
+        return jit_cache[key](wavs)
+
+    @jax.jit
+    def score(m_pred, m_clean, sg_pred, sg_clean):
+        pm = batch_peak_metrics(m_pred, m_clean, reduce=False)
+        return (jnp.sum(pm["precision"]), jnp.sum(pm["recall"]),
+                jnp.sum(pm["f1"]), jnp.sum(batch_psnr(sg_pred, sg_clean)))
+
+    results = state.get("conditions", {})
+    for cond, params in conditions.items():
+        if (
+            cond in results
+            and "peaks_f1" in results.get(cond, {})
+            and not args.rerun
+        ):
+            continue
+        fp = _condition_augmenter(cond, params, args)
+        sums = np.zeros(4)
+        sums_den = np.zeros(4)
+        n_done = 0
+        t_cond = time.perf_counter()
+        for s in range(0, args.queries, args.batch):
+            tids = qidx[s : s + args.batch]
+            offs = offsets[s : s + args.batch]
+            cleans = _make_queries(corpus_key, tids, offs, args.batch)
+            aug = fp.batch_augment_indexed(
+                cleans[:, None, :], np.arange(s, s + len(tids))
+            )[:, 0, :]
+            m_clean, sg_clean = masks_sgrams_sums(cleans, None)
+            m_aug, sg_aug = masks_sgrams_sums(aug, None)
+            sums += np.asarray(
+                jax.device_get(score(m_aug, m_clean, sg_aug, sg_clean))
+            )
+            if denoiser is not None:
+                m_den, sg_den = masks_sgrams_sums(aug, denoiser)
+                sums_den += np.asarray(
+                    jax.device_get(score(m_den, m_clean, sg_den, sg_clean))
+                )
+            n_done += len(tids)
+        cols = dict(zip(
+            ("peaks_precision", "peaks_recall", "peaks_f1", "psnr_spec"),
+            (round(float(x) / n_done, 4) for x in sums),
+        ))
+        if denoiser is not None:
+            cols.update(zip(
+                ("peaks_precision_den", "peaks_recall_den", "peaks_f1_den",
+                 "psnr_spec_den"),
+                (round(float(x) / n_done, 4) for x in sums_den),
+            ))
+        cols["peaks_n_queries"] = n_done
+        cols["peaks_wall_s"] = round(time.perf_counter() - t_cond, 1)
+        results[cond] = {**results.get(cond, {}), **cols}
+        print(cond, cols, flush=True)
+        state["conditions"] = results
         _save_state(args.workdir, state)
 
 
@@ -536,7 +710,8 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument(
-        "stage", choices=["ingest", "train", "match", "oracle", "report"]
+        "stage",
+        choices=["ingest", "train", "match", "peaks", "oracle", "report"],
     )
     p.add_argument("--workdir", default="/tmp/scale_proof")
     p.add_argument("--tracks", type=int, default=106574)  # |FMA-large|
@@ -551,8 +726,17 @@ def main():
     p.add_argument("--banks", choices=["toy", "dcase"], default="toy")
     p.add_argument("--bank-hours", type=float, default=3.0)
     p.add_argument("--denoise", action="store_true",
-                   help="also run the UNet-denoised analyzer + mix rule "
+                   help="also run the denoised analyzer + mix rule "
                         "(train the model first: scale_proof.py train)")
+    p.add_argument("--model", choices=["unet", "demucs"], default="unet",
+                   help="which denoiser the train stage fits")
+    p.add_argument("--denoise-model", choices=["unet", "demucs"],
+                   default="unet",
+                   help="denoiser the match stage runs: unet = spectrogram "
+                        "hook fused into the match program; demucs = "
+                        "waveform denoiser ahead of it (the reference's "
+                        "second eval pipeline); demucs columns land under "
+                        "*_demucs keys")
     p.add_argument("--denoise-bf16", action="store_true",
                    help="run the UNet denoiser inference in bfloat16 "
                         "compute; results merge under *_bf16 keys next to "
@@ -563,7 +747,7 @@ def main():
     args = p.parse_args()
     dict(
         ingest=stage_ingest, train=stage_train, match=stage_match,
-        oracle=stage_oracle, report=stage_report,
+        peaks=stage_peaks, oracle=stage_oracle, report=stage_report,
     )[args.stage](args)
 
 
