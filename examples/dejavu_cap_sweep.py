@@ -144,6 +144,7 @@ def stage_sweep(args):
             f,
             indent=2,
         )
+        f.write("\n")
     print("wrote", out)
 
 
