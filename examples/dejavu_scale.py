@@ -469,7 +469,7 @@ def stage_oracle(args):
     corpus_key = jax.random.PRNGKey(args.corpus_seed)
     crops = _make_queries(corpus_key, qidx, offsets)
     fp = _condition_augmenter(
-        "bn_p10", test_pipelines_parameters["bn_p10"]
+        "bn_p10", test_pipelines_parameters["bn_p10"], args
     )
     aug = fp.batch_augment_indexed(crops[:, None, :], np.arange(n))[:, 0, :]
 
