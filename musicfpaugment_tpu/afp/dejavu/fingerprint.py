@@ -92,21 +92,25 @@ def detect_peaks_mask(
     """
     k = _square_footprint_size(neighborhood, connectivity)
     nbatch = arr.ndim - 2
-    window = (1,) * nbatch + (k, k)
     strides = (1,) * arr.ndim
-    pads = tuple(
-        (0, 0) if i < nbatch else (k // 2, k // 2) for i in range(arr.ndim)
-    )
-    local_max = (
-        jax.lax.reduce_window(
-            arr, -jnp.inf, jax.lax.max, window, strides, pads
-        )
-        == arr
-    )
+
+    def _sep(x, init, op):
+        # The square footprint is a Cartesian product, and max / AND are
+        # associative + commutative, so the 2-D window factors exactly into
+        # two 1-D passes (k + k taps instead of k*k) — bit-identical output,
+        # dramatically cheaper XLA-TPU codegen/compile for k=21.
+        for axis in (arr.ndim - 2, arr.ndim - 1):
+            window = tuple(k if i == axis else 1 for i in range(arr.ndim))
+            pads = tuple(
+                (k // 2, k // 2) if i == axis else (0, 0)
+                for i in range(arr.ndim)
+            )
+            x = jax.lax.reduce_window(x, init, op, window, strides, pads)
+        return x
+
+    local_max = _sep(arr, -jnp.inf, jax.lax.max) == arr
     background = arr == 0
-    eroded = jax.lax.reduce_window(
-        background, True, jnp.logical_and, window, strides, pads
-    )
+    eroded = _sep(background, True, jnp.logical_and)
     detected = local_max != eroded
     return detected & (arr > amp_min)
 
