@@ -379,10 +379,21 @@ class DejavuDeviceMatcher:
 
     ``match_waveforms`` is the fused production path: (B, T) waveforms ->
     per-query top-1 result dicts in :meth:`Dejavu.align_matches` format
-    (ref: dejavu.py:312-378) through ONE XLA program; only five scalars per
-    query leave the device. ``spec_denoiser`` hooks the UNet spectrogram
-    denoiser exactly where the host pipeline applies it
-    (fingerprint.py:70-75).
+    (ref: dejavu.py:312-378) through two XLA programs; only five scalars
+    per query (plus one lane-count scalar per batch) leave the device.
+    Stage A fingerprints + packs the query hashes and reports the widest
+    used lane count across the batch; stage B slices the hash arrays to
+    the smallest power-of-two tier covering that count before gathering/
+    sorting candidate rows. The padded hash capacity H = max_peaks *
+    (fan_value - 1) is sized for the worst query, but real queries use a
+    small fraction of it (amp_min prunes most peaks), and every unused
+    lane would otherwise drag ``depth`` gathered cells through the
+    (B, H*depth) sort — the matcher's dominant cost at corpus scale.
+    Dropped lanes hold only sentinel cells that sort behind every real
+    cell, so the tiered program is bit-identical to the full-width one
+    (asserted in tests/test_dejavu_device.py). ``spec_denoiser`` hooks
+    the UNet spectrogram denoiser exactly where the host pipeline applies
+    it (fingerprint.py:70-75).
 
     ``mesh``: optional 1-D ``jax.sharding.Mesh`` for multi-chip serving —
     queries shard over the mesh's first axis, the CSR corpus replicates,
@@ -445,19 +456,17 @@ class DejavuDeviceMatcher:
         n_frames = max(1, 1 + (T - st["n_fft"]) // st["n_hop"])
         mp = max_peaks or _pow2ceil(4 * n_frames)
         mqf = self._effective_mqf(n_frames)
-        cache_key = (T, mp, mqf, self.num_ids, self.depth, self.nbuckets,
-                     self.eff_maxtime,
-                     None if self.spec_denoiser is None
-                     else id(self.spec_denoiser))
-        if cache_key not in self._e2e_cache:
-            match_kw = dict(
-                depth=self.depth,
-                num_ids=self.num_ids,
-                timebits=self.index.timebits,
-                mqf=mqf,
-                max_store_time=self.eff_maxtime,
-                nbuckets=self.nbuckets,
-            )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            dat = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+
+        fp_key = ("fp", T, mp,
+                  None if self.spec_denoiser is None
+                  else id(self.spec_denoiser))
+        if fp_key not in self._e2e_cache:
             fs, n_fft, n_hop = (
                 float(st["samplerate"]),
                 int(st["n_fft"]),
@@ -466,36 +475,72 @@ class DejavuDeviceMatcher:
             amp_min, fan = float(st["amp_min"]), int(st["fan_value"])
             denoiser = self.spec_denoiser
 
-            def prog(starts, rows, w):
+            def prog_fp(w):
                 _, masks, _ = fingerprint_spectrogram_batch(
                     w, fs, n_fft, n_hop, amp_min, denoiser=denoiser
                 )
                 keys, t1, valid, kf, n_distinct, n_over = (
                     pack_hashes_from_masks(masks, mp, fan)
                 )
-                return _dejavu_match_impl(
-                    starts, rows, keys, t1, valid, kf, **match_kw
-                ) + (n_distinct, n_over)
+                # widest used lane across the batch: every in-range key
+                # (valid or (key, t1)-duplicate) sorts before the 1 << 30
+                # sentinels, so lanes >= this count hold sentinels only
+                n_used = jnp.max(
+                    jnp.sum(keys < (1 << 30), axis=-1)
+                ).astype(jnp.int32)
+                return keys, t1, valid, kf, n_distinct, n_over, n_used
 
             if self.mesh is not None:
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
-
-                rep = NamedSharding(self.mesh, P())
-                dat = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
-                self._e2e_cache[cache_key] = jax.jit(
-                    prog,
-                    in_shardings=(rep, rep, dat),
-                    out_shardings=(dat, dat, dat, dat, dat, rep),
+                self._e2e_cache[fp_key] = jax.jit(
+                    prog_fp,
+                    in_shardings=(dat,),
+                    out_shardings=(dat, dat, dat, dat, dat, rep, rep),
                 )
             else:
-                self._e2e_cache[cache_key] = jax.jit(prog)
+                self._e2e_cache[fp_key] = jax.jit(prog_fp)
 
-        best_sid, best_count, best_dt, dedup_best, n_distinct, n_over = (
-            jax.device_get(
-                self._e2e_cache[cache_key](self._starts, self._rows, wavs)
+        keys, t1, valid, kf, n_distinct_d, n_over_d, n_used = (
+            self._e2e_cache[fp_key](wavs)
+        )
+        # one scalar readback picks the static hash-lane tier; the packed
+        # arrays themselves stay on device between the two programs
+        h_tier = min(mp * (int(st["fan_value"]) - 1),
+                     _pow2ceil(max(int(jax.device_get(n_used)), 128)))
+
+        match_key = ("match", h_tier, keys.shape[1], mqf, self.num_ids,
+                     self.depth, self.nbuckets, self.eff_maxtime)
+        if match_key not in self._e2e_cache:
+            match_kw = dict(
+                depth=self.depth,
+                num_ids=self.num_ids,
+                timebits=self.index.timebits,
+                mqf=mqf,
+                max_store_time=self.eff_maxtime,
+                nbuckets=self.nbuckets,
+            )
+
+            def prog_match(starts, rows, keys, t1, valid, kf):
+                sl = lambda a: jax.lax.slice_in_dim(a, 0, h_tier, axis=1)
+                return _dejavu_match_impl(
+                    starts, rows, sl(keys), sl(t1), sl(valid), sl(kf),
+                    **match_kw,
+                )
+
+            if self.mesh is not None:
+                self._e2e_cache[match_key] = jax.jit(
+                    prog_match,
+                    in_shardings=(rep, rep, dat, dat, dat, dat),
+                    out_shardings=(dat, dat, dat, dat),
+                )
+            else:
+                self._e2e_cache[match_key] = jax.jit(prog_match)
+
+        best_sid, best_count, best_dt, dedup_best = jax.device_get(
+            self._e2e_cache[match_key](
+                self._starts, self._rows, keys, t1, valid, kf
             )
         )
+        n_distinct, n_over = jax.device_get((n_distinct_d, n_over_d))
         if int(n_over):
             import warnings
 

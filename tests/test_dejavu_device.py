@@ -244,3 +244,65 @@ def test_batched_accuracy_matches_sequential(tmp_path, rng):
     dev = compute_accuracy_batched(queries, dm1, dm2, batch_size=3)
     assert dev == host
     assert dev["No Denoising"] >= 0.8
+
+
+def test_match_hash_lane_tier_is_bit_identical(rng):
+    """The tiered match program (hash arrays sliced to the smallest pow2
+    tier covering every in-range lane) must be bit-identical to the
+    full-width program: dropped lanes hold only 1 << 30 sentinels, whose
+    cells sort behind every real cell (matcher_device.py stage B)."""
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu.afp.dejavu.fingerprint import (
+        fingerprint_spectrogram_batch,
+        pack_hashes_from_masks,
+    )
+    from musicfpaugment_tpu.afp.dejavu.matcher_device import (
+        DejavuDeviceIndex,
+        DejavuDeviceMatcher,
+        _dejavu_match_impl,
+        _pow2ceil,
+    )
+
+    tracks = _tone_tracks(rng, n=4, seconds=6)
+    idx = DejavuDeviceIndex()
+    idx.ingest_arrays([f"s{i}" for i in range(len(tracks))], tracks)
+    dm = DejavuDeviceMatcher(idx)
+
+    queries = np.stack(
+        [tracks[i, SR : SR + 2 * SR] for i in range(len(tracks))]
+    )
+    st = dm.settings
+    T = queries.shape[1]
+    n_frames = max(1, 1 + (T - st["n_fft"]) // st["n_hop"])
+    mp = _pow2ceil(4 * n_frames)
+    _, masks, _ = fingerprint_spectrogram_batch(
+        jnp.asarray(queries), float(st["samplerate"]), int(st["n_fft"]),
+        int(st["n_hop"]), st["amp_min"],
+    )
+    keys, t1, valid, kf, _nd, _nov = pack_hashes_from_masks(
+        masks, mp, int(st["fan_value"])
+    )
+    n_used = int(jnp.max(jnp.sum(keys < (1 << 30), axis=-1)))
+    h_tier = min(keys.shape[1], _pow2ceil(max(n_used, 16)))
+    assert h_tier < keys.shape[1], "corpus too dense for the tier test"
+
+    kw = dict(
+        depth=dm.depth, num_ids=dm.num_ids, timebits=idx.timebits,
+        mqf=dm._effective_mqf(n_frames), max_store_time=dm.eff_maxtime,
+        nbuckets=dm.nbuckets,
+    )
+    full = _dejavu_match_impl(
+        dm._starts, dm._rows, keys, t1, valid, kf, **kw
+    )
+    sl = lambda a: a[:, :h_tier]
+    tiered = _dejavu_match_impl(
+        dm._starts, dm._rows, sl(keys), sl(t1), sl(valid), sl(kf), **kw
+    )
+    for f, t in zip(full, tiered):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(t))
+
+    # and the public path (which now uses the tier internally) still
+    # returns the right songs
+    for i, r in enumerate(dm.match_waveforms(queries)):
+        assert r and r["song_name"].decode() == f"s{i}"
