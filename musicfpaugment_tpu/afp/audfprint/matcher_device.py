@@ -478,6 +478,20 @@ class DeviceMatcher:
         mixed-length batches stacked by ``analyzer.pad_waveform_batch`` —
         peaks/hashes past each query's real end are masked out of the whole
         fused program, matching per-file matching semantics.
+
+        The path is two programs, not one: stage A (peaks -> landmark
+        hashes -> cross-shift dedup -> compaction) reports the widest
+        per-query hash count across the batch as one scalar, and stage B
+        statically slices the compacted hash arrays to the smallest
+        power-of-two lane tier covering it before the (B, H*depth) gather
+        + sort. Real queries fill ~10-25% of the worst-case ``budget``
+        (the decaying-threshold pruner admits ~0.35 peaks/frame at
+        density 20 against the 5/frame cap), and every padded lane drags
+        ``depth`` sentinel cells through the matcher's dominant sort.
+        Dropped lanes hold only sentinel cells that sort behind every real
+        hit, so the tiered program is bit-identical to the full-width one
+        (asserted in tests/test_matcher_device.py). Stage A is
+        corpus-independent, so re-indexing reuses its compile cache.
         """
         from musicfpaugment_tpu.afp.audfprint import landmarks as _lm
         from musicfpaugment_tpu.afp.audfprint.peaks import find_peaks_batch
@@ -493,14 +507,19 @@ class DeviceMatcher:
             max_query_hashes,
             1 << int(np.ceil(np.log2(max(3 * n_frames * max(1, shifts), 64)))),
         )
-        cache_key = ("e2e", T, shifts, density, n_fft, n_hop, f_sd,
-                     maxpksperframe, budget, self.num_ids,
-                     self.eff_depth, self.eff_maxtime, mqf, has_valid,
-                     None if denoiser is None else id(denoiser))
-        if cache_key not in self._e2e_cache:
-            match_kw = self._match_kwargs(mqf)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
 
-            def prog(table, counts, hpi_table, wavs, vsamp):
+            rep = NamedSharding(self.mesh, P())
+            dat = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+
+        fp_key = ("fp", T, shifts, density, n_fft, n_hop, f_sd,
+                  maxpksperframe, budget, has_valid,
+                  None if denoiser is None else id(denoiser))
+        if fp_key not in self._e2e_cache:
+
+            def prog_fp(wavs, vsamp):
                 th_parts, valid_parts = [], []
                 for s in range(max(1, shifts)):
                     off = int(s / max(1, shifts) * n_hop)
@@ -537,39 +556,67 @@ class DeviceMatcher:
                 n = min(budget, t.shape[-1])
                 t, h, nv = _lm.compact_valid_first(t, h, v, out_len=n)
                 n_overflow = jnp.sum(nv > n)
-                vq = jnp.arange(n)[None, :] < jnp.minimum(nv, n)[:, None]
-                return _match_impl(
-                    table,
-                    counts,
-                    hpi_table,
-                    t,
-                    h,
-                    vq,
-                    **match_kw,
-                ) + (n_overflow,)
+                n_used = jnp.max(jnp.minimum(nv, n)).astype(jnp.int32)
+                return t, h, nv, n_overflow, n_used
 
             if self.mesh is not None:
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
-
-                rep = NamedSharding(self.mesh, P())
-                dat = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
-                self._e2e_cache[cache_key] = jax.jit(
-                    prog,
-                    in_shardings=(rep, rep, rep, dat, dat),
+                self._e2e_cache[fp_key] = jax.jit(
+                    prog_fp,
+                    in_shardings=(dat, dat),
                     out_shardings=(dat, dat, dat, rep, rep),
                 )
             else:
-                self._e2e_cache[cache_key] = jax.jit(prog)
+                self._e2e_cache[fp_key] = jax.jit(prog_fp)
 
         vsamp = (
             jnp.asarray(valid_samples, jnp.int32) if has_valid else None
         )
-        best_id, best_count, _, cell_overflow, n_overflow = jax.device_get(
-            self._e2e_cache[cache_key](
-                self._table, self._counts, self._hpit, waveforms, vsamp
+        qt, qh, nv_d, n_overflow_d, n_used = self._e2e_cache[fp_key](
+            waveforms, vsamp
+        )
+        # one scalar readback picks the static lane tier; the compacted
+        # hash arrays stay on device between the two programs
+        h_tier = min(
+            int(qh.shape[1]),
+            1 << int(np.ceil(np.log2(max(int(jax.device_get(n_used)), 64)))),
+        )
+
+        match_key = ("match", h_tier, int(qh.shape[1]), self.num_ids,
+                     self.eff_depth, self.eff_maxtime, mqf)
+        if match_key not in self._e2e_cache:
+            match_kw = self._match_kwargs(mqf)
+
+            def prog_match(table, counts, hpi_table, t, h, nv):
+                sl = lambda a: jax.lax.slice_in_dim(a, 0, h_tier, axis=1)
+                vq = (
+                    jnp.arange(h_tier)[None, :]
+                    < jnp.minimum(nv, h_tier)[:, None]
+                )
+                return _match_impl(
+                    table,
+                    counts,
+                    hpi_table,
+                    sl(t),
+                    sl(h),
+                    vq,
+                    **match_kw,
+                )
+
+            if self.mesh is not None:
+                self._e2e_cache[match_key] = jax.jit(
+                    prog_match,
+                    in_shardings=(rep, rep, rep, dat, dat, dat),
+                    out_shardings=(dat, dat, dat, rep),
+                )
+            else:
+                self._e2e_cache[match_key] = jax.jit(prog_match)
+
+        best_id, best_count, _, cell_overflow = jax.device_get(
+            self._e2e_cache[match_key](
+                self._table, self._counts, self._hpit, qt, qh, nv_d
             )
         )
+        n_overflow = jax.device_get(n_overflow_d)
         if int(cell_overflow):
             import warnings
 

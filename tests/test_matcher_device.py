@@ -229,3 +229,66 @@ def test_depth100_reservoir_regime_parity():
     with pytest.warns(UserWarning, match="candidate-cell budget"):
         truncated = dm_small.match_hashes_batch(qs)
     assert truncated == device
+
+
+def test_match_waveform_lane_tier_is_bit_identical():
+    """Stage B's lane tier (compacted hash arrays sliced to the smallest
+    pow2 tier covering every used lane) must be bit-identical to the
+    full-budget program: padded lanes are qvalid=False, so their cells are
+    sentinels that sort behind every real hit (matcher_device.py
+    match_waveforms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicfpaugment_tpu.afp.audfprint import AudfprintPeaks, HashTable
+    from musicfpaugment_tpu.afp.audfprint import landmarks as _lm
+    from musicfpaugment_tpu.afp.audfprint.matcher_device import _match_impl
+    from musicfpaugment_tpu.afp.audfprint.peaks import find_peaks_batch
+    from musicfpaugment_tpu.testing.parameters import afp_settings
+
+    rng = np.random.default_rng(17)
+    analyzer = AudfprintPeaks(afp_settings["audfprint"])
+    tracks = rng.standard_normal((6, 6 * 8000)).astype(np.float32)
+    ht = HashTable()
+    analyzer.ingest_batch(ht, [f"w{i}" for i in range(6)], tracks)
+    dm = DeviceMatcher(ht)
+
+    queries = jnp.asarray(
+        np.stack([tracks[i % 6, 8000 : 8000 + 2 * 8000] for i in range(4)])
+    )
+    n_hop = 256
+    n_frames = 1 + queries.shape[1] // n_hop
+    mqf = dm._effective_mqf(n_frames - 1)
+    masks = find_peaks_batch(queries, density=20.0, n_fft=512, n_hop=n_hop)
+    C = int(masks.shape[-1])
+    max_peaks = -(-5 * C // 128) * 128
+    th, v = _lm.hashes_from_masks_batched(
+        masks, max_peaks=max_peaks, max_hashes=max_peaks * _lm.MAXPAIRSPERPEAK
+    )
+    t, h, v = _lm.sort_dedup_hashes(th[..., 0], th[..., 1], v)
+    n = int(t.shape[-1])
+    t, h, nv = _lm.compact_valid_first(t, h, v, out_len=n)
+    n_used = int(jnp.max(jnp.minimum(nv, n)))
+    h_tier = min(n, 1 << int(np.ceil(np.log2(max(n_used, 16)))))
+    assert h_tier < n, "queries too dense for the tier test"
+
+    kw = dm._match_kwargs(mqf)
+    vq_full = jnp.arange(n)[None, :] < jnp.minimum(nv, n)[:, None]
+    full = _match_impl(
+        dm._table, dm._counts, dm._hpit, t, h, vq_full, **kw
+    )
+    sl = lambda a: a[:, :h_tier]
+    vq_tier = jnp.arange(h_tier)[None, :] < jnp.minimum(nv, h_tier)[:, None]
+    tiered = _match_impl(
+        dm._table, dm._counts, dm._hpit, sl(t), sl(h), vq_tier, **kw
+    )
+    for f, tr in zip(full, tiered):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(tr))
+
+    # the public path (tier picked internally) agrees with the staged
+    # path verdict-for-verdict (the corpus is noise at 2 s crops, so most
+    # queries legitimately NOMATCH — equality is the real invariant)
+    staged = dm.match_hashes_batch(
+        analyzer.hashes_batch(np.asarray(queries), shifts=1)
+    )
+    assert dm.match_waveforms(queries) == staged
